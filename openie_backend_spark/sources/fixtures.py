@@ -1,0 +1,78 @@
+"""Readers for the reference repo's golden fixture files.
+
+The reference stores golden extractions as 7-column tab-delimited lines
+(``models/.../ReVerbExtraction.scala:137-147``): arg1/rel/arg2 intervals
+(``[start, end)``), three space-delimited aligned token layers (words,
+POS tags, IOB chunk tags) and a source url. We read the files directly
+from the read-only reference checkout when present; tests skip
+gracefully when it is absent so the repo stays standalone.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterator, NamedTuple
+
+REFERENCE_ROOT = os.environ.get("OPENIE_REFERENCE_ROOT", "/root/reference")
+
+GOLD_EXTRACTIONS = os.path.join(
+    REFERENCE_ROOT,
+    "models/src/main/resources/edu/knowitall/openie/models/TestReVerbExtractions.txt",
+)
+GOLD_GROUPS = os.path.join(
+    REFERENCE_ROOT,
+    "models/src/main/resources/edu/knowitall/openie/models/test-groups.txt",
+)
+
+_INTERVAL_RE = re.compile(r"[\[{](\d+),\s*(\d+)[)\]}]")
+
+
+class GoldExtraction(NamedTuple):
+    arg1: tuple[int, int]
+    rel: tuple[int, int]
+    arg2: tuple[int, int]
+    tokens: list[str]
+    pos: list[str]
+    chunks: list[str]
+    url: str | None
+
+
+def parse_interval(text: str) -> tuple[int, int]:
+    m = _INTERVAL_RE.match(text.strip())
+    if not m:
+        raise ValueError(f"bad interval: {text!r}")
+    return int(m.group(1)), int(m.group(2))
+
+
+def available() -> bool:
+    return os.path.exists(GOLD_EXTRACTIONS)
+
+
+def iter_gold_extractions(path: str = GOLD_EXTRACTIONS) -> Iterator[GoldExtraction]:
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            cols = line.split("\t")
+            if len(cols) != 7:
+                continue
+            a1, rel, a2, toks, pos, chunks, url = cols
+            yield GoldExtraction(
+                parse_interval(a1),
+                parse_interval(rel),
+                parse_interval(a2),
+                toks.split(" "),
+                pos.split(" "),
+                chunks.split(" "),
+                None if url == "None" else url,
+            )
+
+
+def gold_sentences() -> list[tuple[list[str], list[str], list[str]]]:
+    """Distinct chunked sentences from the gold file (dedup by word layer)."""
+    seen: dict[str, tuple[list[str], list[str], list[str]]] = {}
+    for g in iter_gold_extractions():
+        seen.setdefault(" ".join(g.tokens), (g.tokens, g.pos, g.chunks))
+    return list(seen.values())
