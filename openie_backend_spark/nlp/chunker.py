@@ -1,0 +1,188 @@
+"""Sentence splitting, tokenization, POS tagging and NP/VP/PP chunking
+for raw web-page text.
+
+The reference runs OpenNLP models inside a map-only Hadoop job
+(``hadoop/.../ScoobiSentenceChunker.scala:19,35-52``, one lazy model
+instance per JVM). Shipping OpenNLP's binary models is out of scope
+here, so this module provides a deterministic rule-based
+tokenizer/tagger/chunker with the same *interface* (three aligned
+layers). Accuracy is tuned for the deterministic synthetic corpus
+(``openie_backend_spark/synth.py``) and common web-English; for the
+golden-fixture parity path the layers are given, so extractor parity
+does not depend on this tagger (SURVEY.md §7.4-1).
+
+Pure Python; wrapped once-per-executor inside the Arrow-batched UDFs of
+``openie_backend_spark.operators.extract``.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])[\s ]+(?=[A-Z\"'(0-9])")
+_TOKEN = re.compile(
+    r"n't|'s|'re|'ve|'ll|'d|'m|[A-Za-z]+(?:[-.][A-Za-z]+)*\.?|\$|[0-9][0-9,.%-]*|[^\sA-Za-z0-9]"
+)
+
+# closed-class lexicon
+_LEX = {
+    "the": "DT", "a": "DT", "an": "DT", "this": "DT", "that": "DT",
+    "these": "DT", "those": "DT", "each": "DT", "every": "DT",
+    "some": "DT", "any": "DT", "no": "DT", "all": "DT", "both": "DT",
+    "another": "DT",
+    "which": "WDT", "what": "WP", "who": "WP", "whom": "WP", "whose": "WP$",
+    "there": "EX",
+    "i": "PRP", "you": "PRP", "he": "PRP", "she": "PRP", "it": "PRP",
+    "we": "PRP", "they": "PRP", "them": "PRP", "him": "PRP", "her": "PRP",
+    "me": "PRP", "us": "PRP", "itself": "PRP", "himself": "PRP",
+    "herself": "PRP", "themselves": "PRP",
+    "my": "PRP$", "your": "PRP$", "his": "PRP$", "its": "PRP$",
+    "our": "PRP$", "their": "PRP$",
+    "in": "IN", "of": "IN", "on": "IN", "at": "IN", "by": "IN",
+    "for": "IN", "with": "IN", "from": "IN", "into": "IN", "about": "IN",
+    "over": "IN", "under": "IN", "after": "IN", "before": "IN",
+    "between": "IN", "through": "IN", "during": "IN", "against": "IN",
+    "among": "IN", "within": "IN", "without": "IN", "near": "IN",
+    "as": "IN", "than": "IN", "because": "IN", "if": "IN", "while": "IN",
+    "although": "IN", "though": "IN", "since": "IN", "until": "IN",
+    "upon": "IN", "amid": "IN", "via": "IN", "like": "IN",
+    "to": "TO",
+    "and": "CC", "or": "CC", "but": "CC", "nor": "CC", "yet": "CC",
+    "can": "MD", "could": "MD", "will": "MD", "would": "MD", "may": "MD",
+    "might": "MD", "must": "MD", "shall": "MD", "should": "MD",
+    "is": "VBZ", "are": "VBP", "was": "VBD", "were": "VBD", "am": "VBP",
+    "be": "VB", "been": "VBN", "being": "VBG",
+    "has": "VBZ", "have": "VBP", "had": "VBD", "having": "VBG",
+    "does": "VBZ", "do": "VBP", "did": "VBD", "done": "VBN",
+    "'s": "POS", "'re": "VBP", "'ve": "VBP", "'ll": "MD", "'m": "VBP",
+    "'d": "MD", "n't": "RB",
+    "not": "RB", "also": "RB", "very": "RB", "only": "RB", "just": "RB",
+    "now": "RB", "then": "RB", "here": "RB", "too": "RB", "well": "RB",
+    "never": "RB", "always": "RB", "often": "RB", "still": "RB",
+    "already": "RB", "currently": "RB", "recently": "RB", "formerly": "RB",
+    "up": "RP", "out": "RP", "off": "RP", "down": "RP",
+    "$": "$", "%": "NN",
+    "born": "VBN", "based": "VBN", "located": "VBN", "named": "VBN",
+    "known": "VBN", "called": "VBN",
+    "anything": "NN", "something": "NN", "nothing": "NN",
+    "everything": "NN", "anyone": "NN", "someone": "NN", "everyone": "NN",
+    "nobody": "NN", "anybody": "NN", "somebody": "NN",
+}
+
+# common irregular past forms → tag VBD when not sentence-initial NNP
+_COMMON_VBD = frozenset(
+    "said made took came gave went found told became got kept held met "
+    "led paid sold bought built sent won grew rose fell left felt lost "
+    "ran saw wrote spoke brought began acquired announced reported "
+    "launched founded created developed established owned signed "
+    "joined visited studied received produced discovered invented "
+    "published directed composed designed".split()
+)
+_COMMON_VB = frozenset(
+    "say make take come give go find tell become get keep hold meet "
+    "lead pay sell buy build send win grow rise fall leave feel lose "
+    "run see write speak bring begin acquire announce report launch "
+    "found create develop establish own sign join visit study receive "
+    "produce discover invent publish direct compose design use have "
+    "work live play teach serve manage operate supply provide include "
+    "contain employ support represent border locate".split()
+)
+
+_PUNCT_TAGS = {".": ".", ",": ",", ";": ":", ":": ":", "?": ".", "!": ".",
+               "``": "``", "''": "''", '"': "''", "(": "-LRB-", ")": "-RRB-"}
+
+
+def split_sentences(text: str) -> list[str]:
+    return [s.strip() for s in _SENT_SPLIT.split(text or "") if s.strip()]
+
+
+def tokenize(sentence: str) -> list[str]:
+    return _TOKEN.findall(sentence)
+
+
+def _tag_word(w: str, prev_tag: str, is_first: bool) -> str:
+    lw = w.lower()
+    if w in _PUNCT_TAGS:
+        return _PUNCT_TAGS[w]
+    if lw in _LEX:
+        return _LEX[lw]
+    if re.fullmatch(r"[0-9][0-9,.%-]*", w):
+        return "CD"
+    if w[0].isupper() and not is_first:
+        return "NNP"
+    if prev_tag == "TO" and lw in _COMMON_VB:
+        return "VB"
+    if prev_tag == "MD":
+        return "VB"
+    if lw in _COMMON_VBD:
+        return "VBD"
+    if lw.endswith("ly"):
+        return "RB"
+    if lw.endswith("ing") and len(lw) > 5:
+        return "VBG"
+    if lw.endswith("ed") and len(lw) > 4:
+        return "VBD" if prev_tag in ("NN", "NNS", "NNP", "NNPS", "PRP", "CD") else "VBN"
+    if lw.endswith("s") and not lw.endswith("ss") and len(lw) > 3:
+        base = lw[:-1]
+        if base in _COMMON_VB and prev_tag in ("NN", "NNS", "NNP", "NNPS", "PRP", "WDT", "WP", "CD"):
+            return "VBZ"
+        return "NNS"
+    if lw in _COMMON_VB and prev_tag in ("NN", "NNS", "NNP", "NNPS", "PRP", "WDT", "WP", "CD", "RB"):
+        return "VBP"
+    if w[0].isupper() and is_first:
+        return "NNP"
+    if lw.endswith(("ous", "ful", "ive", "able", "ible", "al", "ic")):
+        return "JJ"
+    return "NN"
+
+
+def pos_tag(tokens: list[str]) -> list[str]:
+    tags: list[str] = []
+    prev = "<S>"
+    for i, w in enumerate(tokens):
+        t = _tag_word(w, prev, i == 0)
+        tags.append(t)
+        prev = t
+    return tags
+
+
+_NP_TAGS = frozenset({"DT", "JJ", "JJR", "JJS", "NN", "NNS", "NNP", "NNPS",
+                      "CD", "PRP", "PRP$", "POS", "$", "WDT", "WP", "EX"})
+_VP_TAGS = frozenset({"VB", "VBD", "VBG", "VBN", "VBP", "VBZ", "MD"})
+
+
+def chunk(tokens: list[str], tags: list[str]) -> list[str]:
+    """IOB chunk layer from POS tags (NP/VP/PP/ADVP/PRT/O)."""
+    out: list[str] = []
+    prev = "O"
+    for w, t in zip(tokens, tags):
+        if t in _NP_TAGS:
+            # wh-pronouns start their own NP; POS attaches to the NP
+            if t in ("WDT", "WP", "EX"):
+                cur = "B-NP"
+            elif prev.endswith("NP") and t == "DT" and w.lower() in ("a", "an", "the"):
+                cur = "B-NP"
+            elif prev.endswith("NP"):
+                cur = "I-NP"
+            else:
+                cur = "B-NP"
+        elif t in _VP_TAGS:
+            cur = "I-VP" if prev.endswith("VP") else "B-VP"
+        elif t in ("IN", "TO"):
+            cur = "B-PP"
+        elif t == "RP":
+            cur = "B-PRT"
+        elif t in ("RB", "RBR", "RBS"):
+            # adverb inside a verb group stays in the VP ("did not go")
+            cur = "I-VP" if prev.endswith("VP") else "B-ADVP"
+        else:
+            cur = "O"
+        out.append(cur)
+        prev = cur
+    return out
+
+
+def chunk_sentence(sentence: str) -> tuple[list[str], list[str], list[str]]:
+    toks = tokenize(sentence)
+    tags = pos_tag(toks)
+    return toks, tags, chunk(toks, tags)

@@ -1,0 +1,181 @@
+"""Entity linking: groups → groups + FreeBase-style entity links/types.
+
+Set-based Spark rewrite of the reference linker
+(``linker/.../entity/EntityLinker.scala:37-45`` per-group flow:
+head phrase → CrossWikis candidates → context match → argmax → types):
+
+* M10 head-phrase shrink loop (``linker/.../util/HeadPhraseFinder.scala:
+  8-62``): the reference probes the anchor dictionary word-by-word
+  ("shrink from the left until the phrase has candidates"). The
+  set-based form: posexplode ALL left-suffixes of the head phrase,
+  inner-join the anchor dim once, keep the longest matching suffix
+  (min shrink index) per (group, side) — one broadcast join instead of
+  a per-row loop (SURVEY §7.4-2).
+* J3 anchor→prior is a **broadcast** join against the CrossWikis-style
+  dim with the reference's high-precision cutoffs cprob ≥ 0.5,
+  count ≥ 500 (``CrosswikisCandidateFinder.java:26-29,50-71``). At
+  10^12-page scale the dim (~100M anchors) may exceed broadcast size:
+  ``broadcast_threshold_rows`` switches to a shuffle hash join where
+  AQE's skew-join splitting handles head anchors ("obama"), replacing
+  the reference's manual 0-99 salting (``TypeAttacher.scala:20,25``).
+* J8 context match replaces Lucene MoreLikeThis
+  (``linker/.../entity/batch_match.java:209-254``) with a candidate-
+  pruned term-overlap cosine: each candidate carries its top tf-idf
+  terms (dim_context_terms); the score is the weight fraction of those
+  terms present in the instance sentence — computed with
+  array_intersect on the JVM, no Python.
+* T6 argmax: ``max_by(candidate, cprob · log(inlinks) · context)``
+  (``EntityLinker.scala:147-149``), 3-decimal rounding as in
+  ``batch_match.java:244``.
+* J6 typing: broadcast join fbid → types
+  (``linker/.../util/FbTypeLookup.scala:49-60``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openie_backend_spark.operators.group import GROUP_KEY
+
+HIGH_PRECISION_CPROB = 0.5
+HIGH_PRECISION_COUNT = 500
+
+ENTITY_STRUCT_FIELDS = ("name", "fbid", "score", "inlink_ratio")
+
+
+def _lnrm_sql(col):
+    """CrossWikis lnrm (``CrosswikisHandler.java:23-29``) as builtins:
+    lowercase + strip non-alphanumerics. (Diacritics folding for
+    non-ASCII lives in the pandas-UDF variant in functions.norm;
+    builtin path keeps the hot join JVM-side.)"""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def _prepare_dims(spark_dims: dict[str, DataFrame]) -> DataFrame:
+    """One denormalized candidate dim: anchor_lnrm → (entity struct).
+    Joining the four reference lookup stores once at dim-prep time
+    means the per-group path does a single broadcast join."""
+    anchors = spark_dims["dim_anchor_prior"].filter(
+        (F.col("cprob") >= HIGH_PRECISION_CPROB)
+        & (F.col("count") >= HIGH_PRECISION_COUNT)
+    )
+    title_fbid = spark_dims["dim_title_fbid"]
+    inlinks = spark_dims["dim_fbid_title_inlinks"].select("fbid", "inlinks")
+    types = spark_dims["dim_fbid_types"]
+    ctx = (
+        spark_dims["dim_context_terms"]
+        .groupBy("fbid")
+        .agg(
+            F.collect_list("term").alias("ctx_terms"),
+            F.collect_list("weight").alias("ctx_weights"),
+            F.sum("weight").alias("ctx_total"),
+        )
+    )
+    return (
+        anchors.join(title_fbid, anchors["entity_title"] == title_fbid["title"], "inner")
+        .join(inlinks, "fbid", "left")
+        .join(types, "fbid", "left")
+        .join(ctx, "fbid", "left")
+        .select(
+            "anchor_lnrm", "title", "fbid", "cprob",
+            F.coalesce("inlinks", F.lit(2)).alias("inlinks"),
+            F.coalesce("types", F.array().cast("array<string>")).alias("types"),
+            F.coalesce("ctx_terms", F.array().cast("array<string>")).alias("ctx_terms"),
+            F.coalesce("ctx_weights", F.array().cast("array<double>")).alias("ctx_weights"),
+            F.coalesce("ctx_total", F.lit(0.0)).alias("ctx_total"),
+        )
+    )
+
+
+def _link_side(
+    groups: DataFrame,
+    cand_dim: DataFrame,
+    side: str,
+    broadcast_dim: bool,
+) -> DataFrame:
+    """Resolve one argument side to its best entity candidate."""
+    head_col = f"{side}_head"
+    # sentence tokens of the top instance provide the context bag
+    src = groups.select(
+        *GROUP_KEY,
+        F.split(F.col(head_col), " ").alias("_head_words"),
+        F.transform(
+            F.element_at("instances", 1)["tokens"], lambda t: F.lower(t)
+        ).alias("_sent_tokens"),
+    ).filter(F.size("_head_words") > 0)
+
+    # all left-suffixes of the head phrase, shrink index 0 = full phrase
+    suffixes = src.select(
+        *GROUP_KEY,
+        "_sent_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_head_words") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_head_words"), i + 1, F.size("_head_words"))
+                ),
+            )
+        ).alias("shrink_idx", "suffix"),
+    ).withColumn("anchor_lnrm", _lnrm_sql(F.col("suffix")))
+
+    dim = F.broadcast(cand_dim) if broadcast_dim else cand_dim
+    cands = suffixes.join(dim, "anchor_lnrm", "inner")
+
+    # context score: matched weight fraction of the candidate's terms
+    matched = F.aggregate(
+        F.zip_with(
+            "ctx_terms", "ctx_weights",
+            lambda t, w: F.when(F.array_contains(F.col("_sent_tokens"), t), w).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ctx_score = F.when(F.col("ctx_total") > 0, matched / F.col("ctx_total")).otherwise(F.lit(0.0))
+    score = F.round(F.col("cprob") * F.log(F.col("inlinks")) * ctx_score, 3)
+
+    best = (
+        cands.withColumn("_score", score)
+        # longest matching suffix wins; among equals, best score
+        .groupBy(*GROUP_KEY)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("title").alias("name"),
+                    F.col("fbid"),
+                    F.col("_score").alias("score"),
+                    (F.lit(1.0) / F.col("inlinks")).alias("inlink_ratio"),
+                    F.col("types"),
+                ),
+                F.struct((-F.col("shrink_idx")).alias("a"), F.col("_score").alias("b")),
+            ).alias("_best")
+        )
+        .select(
+            *GROUP_KEY,
+            F.struct(
+                F.col("_best.name"), F.col("_best.fbid"),
+                F.col("_best.score"), F.col("_best.inlink_ratio"),
+            ).alias(f"{side}_entity"),
+            F.col("_best.types").alias(f"{side}_types"),
+        )
+    )
+    return best
+
+
+def link_groups(
+    groups: DataFrame,
+    dims: dict[str, DataFrame],
+    broadcast_dim: bool = True,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Attach arg1/arg2 entity links + types to groups."""
+    cand_dim = _prepare_dims(dims)
+    out = groups
+    for side in ("arg1", "arg2"):
+        linked = _link_side(groups, cand_dim, side, broadcast_dim)
+        out = out.join(linked, GROUP_KEY, "left")
+    empty = F.array().cast("array<string>")
+    return (
+        out.withColumn("arg1_types", F.coalesce("arg1_types", empty))
+        .withColumn("arg2_types", F.coalesce("arg2_types", empty))
+    )

@@ -1,0 +1,126 @@
+"""Graph materialization: linked groups → SPO triple table, dim tables
+and an adjacency-list edge table (north rule), plus the 6-way answer
+projection (G12) and query-time fracture (G11).
+
+Replaces the reference's Lucene serving index
+(``backend/.../ReVerbDocumentConverter.scala:22-88``): subjects and
+objects get stable ids (the fbid when linked, else a hash of the norm
+— ``sha2`` on the JVM, no Python), and triples are written bucketed by
+subject hash so point lookups prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openie_backend_spark.operators.group import GROUP_KEY
+
+
+def _node_id(entity_col: str, norm_col: str):
+    return F.coalesce(
+        F.col(f"{entity_col}.fbid"),
+        F.concat(F.lit("n:"), F.substring(F.sha2(F.col(norm_col), 256), 1, 16)),
+    )
+
+
+def spo_table(groups: DataFrame) -> DataFrame:
+    """groups → spo(subject_id, subject, predicate, object_id, object,
+    group_size, subject_entity, object_entity, subject_types,
+    object_types)."""
+    has_links = "arg1_entity" in groups.columns
+    g = groups
+    if not has_links:
+        g = (
+            g.withColumn("arg1_entity", F.lit(None).cast(
+                "struct<name:string,fbid:string,score:double,inlink_ratio:double>"))
+            .withColumn("arg2_entity", F.col("arg1_entity"))
+            .withColumn("arg1_types", F.array().cast("array<string>"))
+            .withColumn("arg2_types", F.array().cast("array<string>"))
+        )
+    return g.select(
+        _node_id("arg1_entity", "arg1_norm").alias("subject_id"),
+        F.col("arg1_norm").alias("subject"),
+        F.col("rel_norm").alias("predicate"),
+        _node_id("arg2_entity", "arg2_norm").alias("object_id"),
+        F.col("arg2_norm").alias("object"),
+        F.col("size").alias("group_size"),
+        F.col("arg1_entity").alias("subject_entity"),
+        F.col("arg2_entity").alias("object_entity"),
+        F.col("arg1_types").alias("subject_types"),
+        F.col("arg2_types").alias("object_types"),
+    )
+
+
+def edge_table(spo: DataFrame) -> DataFrame:
+    """Adjacency list: subject_id → sorted distinct neighbor ids with
+    degree. One shuffle on subject_id; map-side partial aggregation
+    applies because collect_set is partial-aggregable."""
+    return (
+        spo.groupBy("subject_id")
+        .agg(
+            F.sort_array(F.collect_set("object_id")).alias("dst_ids"),
+            F.count(F.lit(1)).alias("out_degree"),
+        )
+    )
+
+
+def node_table(spo: DataFrame) -> DataFrame:
+    """Distinct node dim with the best-known surface form and entity."""
+    subj = spo.select(
+        F.col("subject_id").alias("node_id"),
+        F.col("subject").alias("norm"),
+        F.col("subject_entity").alias("entity"),
+        F.col("subject_types").alias("types"),
+    )
+    obj = spo.select(
+        F.col("object_id").alias("node_id"),
+        F.col("object").alias("norm"),
+        F.col("object_entity").alias("entity"),
+        F.col("object_types").alias("types"),
+    )
+    return (
+        subj.unionByName(obj)
+        .groupBy("node_id")
+        .agg(
+            F.max_by(F.struct("norm", "entity", "types"), F.struct(
+                F.col("entity").isNotNull().cast("int").alias("linked"),
+                F.length("norm").alias("len"),
+            )).alias("_b")
+        )
+        .select("node_id", F.col("_b.norm"), F.col("_b.entity"), F.col("_b.types"))
+    )
+
+
+def answer_projections(groups: DataFrame) -> DataFrame:
+    """G12 (``ScoobiGroupToAnswer.scala:26-43``): emit group copies with
+    each non-empty subset of {arg1, rel, arg2} blanked, via ``stack``
+    (one narrow projection, no shuffle)."""
+    masks = [
+        ("X__", 1, 0, 0), ("_X_", 0, 1, 0), ("__X", 0, 0, 1),
+        ("XX_", 1, 1, 0), ("X_X", 1, 0, 1), ("_XX", 0, 1, 1),
+    ]
+    rows = ", ".join(
+        f"'{name}', {'NULL' if m1 else 'arg1_norm'}, "
+        f"{'NULL' if m2 else 'rel_norm'}, {'NULL' if m3 else 'arg2_norm'}"
+        for name, m1, m2, m3 in masks
+    )
+    return groups.selectExpr(
+        f"stack({len(masks)}, {rows}) as (mask, arg1_answer, rel_answer, arg2_answer)",
+        "size",
+    )
+
+
+def fracture(groups: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """G11 (``ExtractionGroup.scala:69-86``): explode instances and
+    re-group on a (possibly recomputed) key — heals normalization
+    drift between engine versions."""
+    key_cols = key_cols or GROUP_KEY
+    exploded = groups.select(*key_cols, F.explode("instances").alias("instance"))
+    return (
+        exploded.groupBy(*key_cols)
+        .agg(
+            F.collect_list("instance").alias("instances"),
+            F.count(F.lit(1)).alias("size"),
+        )
+    )
