@@ -1,38 +1,631 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from
+SURVEY.md §2 — grouping/aggregation (G1-G12), joins (J3-J9), filters
+(F2-F9), top-k (T7-T9), set ops, the serving query layer — plus the
+training-data operators (dedup family, similarity search, text
+analysis, multimodal plumbing) and the KG pipeline itself.
+SQL-expressible operators carry a DuckDB oracle in ``oracle_sql()``
+(identical md5-based hashing on both sides so value-hashes match);
+UDF-backed ops (extraction, LSH planes, multimodal) are rows-only.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from openie_backend_spark.functions import text as T
+from openie_backend_spark.operators import dedup as D
+from openie_backend_spark.operators import multimodal as MM
+from openie_backend_spark.operators import similarity as SIM
+from openie_backend_spark.operators.extract import extract_pages
+from openie_backend_spark.operators.filters import instance_quality_filter
+from openie_backend_spark.operators.group import group_extractions
+from openie_backend_spark.operators.materialize import spo_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # sandbox parquet files are single-row-group (unsplittable), so the
+    # scan yields one partition and the map side runs single-threaded;
+    # redistribute small inputs. At production scale inputs arrive in
+    # many files/row-groups and this branch never triggers.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over sf0.001 documents treated as a
+    pages table — extract → quality-filter → group → SPO."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    extractions = extract_pages(pages)
+    groups = group_extractions(instance_quality_filter(extractions, min_conf=0.0))
+    return spo_table(groups).select(
+        "subject_id", "subject", "predicate", "object_id", "object", "group_size"
+    )
+
+
+# ------------------------------------------------------------- queries
+
+def _g1_group_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+def _g2_regroup_hist(spark, sf):
+    o = _t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("order_count"))
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("num_customers"))
+
+
+def _g4_ratio(spark, sf):
+    c = _t(spark, sf, "customer").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cust_cnt"))
+    s = _t(spark, sf, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("supp_cnt"))
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"], "inner")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "cust_cnt",
+            "supp_cnt",
+            F.round(F.col("cust_cnt") / F.col("supp_cnt"), 4).alias("ratio"),
+        )
+    )
+
+
+def _g5_argpair_cap(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.slice(F.array_sort(F.collect_set("l_orderkey")), 1, 5),
+            ).alias("first_orderkeys"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def _t7_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def _t9_per_key_cap(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    capped = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    return capped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def _j3_broadcast_dim(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_size") < 10)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+def _j_left_anti(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_regionkey") == 0).select("n_nationkey")
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"], "left_anti")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _j9_upsert(spark, sf):
+    o = _t(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    updates = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("price")
+    )
+    merged = (
+        base.join(updates.withColumnRenamed("price", "new_price"), "o_orderkey", "full_outer")
+        .select("o_orderkey", F.coalesce("new_price", "price").alias("price"))
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("price"), 2).alias("total")
+    )
+
+
+def _f2_doc_filters(spark, sf):
+    d = _t(spark, sf, "documents")
+    kept = d.filter(
+        (F.col("n_chars").between(100, 450))
+        & ~F.col("text").rlike(".*(http|\\().*")
+        & (F.length(F.trim("text")) > 0)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _f9_hash_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    sampled = d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "a")
+    return sampled.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _g12_projections(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("size"))
+    proj = g.selectExpr(
+        "stack(3, 'X_', CAST(NULL AS STRING), l_linestatus, "
+        "'_X', l_returnflag, CAST(NULL AS STRING), "
+        "'XX', CAST(NULL AS STRING), CAST(NULL AS STRING)) AS (mask, a1, a2)",
+        "size",
+    )
+    return proj.groupBy("mask", "a1", "a2").agg(F.sum("size").alias("total"))
+
+
+def _set_union_distinct(spark, sf):
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey", "c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey", "c_custkey")
+    return (
+        a.unionByName(b).distinct().groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_conjunctive_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def _w_t1_events_top2(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    top2 = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    return top2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# ---- text analysis over documents ----
+
+def _txt_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+def _txt_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.lang_id("text").alias("pred_lang"))
+
+
+def _txt_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def _txt_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint("text", 5).alias("fingerprint"))
+
+
+# ---- dedup family over documents ----
+
+def _dedup_exact(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+def _dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+
+
+def _dedup_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
+def _dedup_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"), bits=16)
+
+
+def _dedup_embedding(spark, sf):
+    # synthetic embeddings are near-orthogonal (max cosine ≈ 0.46), so
+    # the demo threshold is 0.3; production near-dup would use ≥ 0.95
+    return D.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+
+
+# ---- similarity search over embeddings ----
+
+def _queries_vec(spark, sf, n=3):
+    e = _t(spark, sf, "embeddings")
+    return e.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _ann_bruteforce(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SIM.brute_force_topk(e, _queries_vec(spark, sf), k=10)
+
+
+def _ann_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SIM.lsh_topk(e, _queries_vec(spark, sf), k=10, dim=64)
+
+
+# ---- KG pipeline (UDF-backed; rows-only checks) ----
+
+def _doc_pages(spark, sf):
+    return _t(spark, sf, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text", "lang"
+    )
+
+
+def _kg_extractions(spark, sf):
+    return extract_pages(_doc_pages(spark, sf)).select(
+        "url", "sent_id", "arg1_text", "rel_text", "arg2_text",
+        "arg1_norm", "rel_norm", "arg2_norm", "confidence",
+    )
+
+
+def _kg_groups(spark, sf):
+    ex = instance_quality_filter(
+        extract_pages(_doc_pages(spark, sf), include_layers=False), min_conf=0.0)
+    return group_extractions(ex).select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size"
+    )
+
+
+def _kg_spo(spark, sf):
+    ex = instance_quality_filter(
+        extract_pages(_doc_pages(spark, sf), include_layers=False), min_conf=0.0)
+    return spo_table(group_extractions(ex)).select(
+        "subject_id", "subject", "predicate", "object_id", "object", "group_size"
+    )
+
+
+def _mm_features(spark, sf):
+    media = MM.synthetic_media(spark, 64)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g1_group_agg": _g1_group_agg,
+        "g2_regroup_hist": _g2_regroup_hist,
+        "g4_ratio": _g4_ratio,
+        "g5_argpair_cap": _g5_argpair_cap,
+        "t7_topk": _t7_topk,
+        "t9_per_key_cap": _t9_per_key_cap,
+        "j3_broadcast_dim": _j3_broadcast_dim,
+        "j_left_anti": _j_left_anti,
+        "j9_upsert": _j9_upsert,
+        "f2_doc_filters": _f2_doc_filters,
+        "f9_hash_sample": _f9_hash_sample,
+        "g12_projections": _g12_projections,
+        "set_union_distinct": _set_union_distinct,
+        "q_conjunctive_topk": _q_conjunctive_topk,
+        "w_t1_events_top2": _w_t1_events_top2,
+        "txt_token_count": _txt_token_count,
+        "txt_lang_id": _txt_lang_id,
+        "txt_quality": _txt_quality,
+        "txt_fingerprint": _txt_fingerprint,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "ann_bruteforce": _ann_bruteforce,
+        "ann_lsh": _ann_lsh,
+        "kg_extractions": _kg_extractions,
+        "kg_groups": _kg_groups,
+        "kg_spo": _kg_spo,
+        "mm_features": _mm_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL
+
+_WS = r"'\s+'"
+
+_SHINGLES3 = (
+    "list_sort(list_distinct(list_transform("
+    "  range(1, greatest(len(regexp_split_to_array(trim(lower(text)), {ws})) - 1, 1)),"
+    "  i -> array_to_string(regexp_split_to_array(trim(lower(text)), {ws})[i:i+2], ' ')"
+    ")))"
+).format(ws=_WS)
+
+_SHINGLES5 = (
+    "list_sort(list_distinct(list_transform("
+    "  range(1, greatest(len(regexp_split_to_array(trim(lower(text)), {ws})) - 3, 1)),"
+    "  i -> array_to_string(regexp_split_to_array(trim(lower(text)), {ws})[i:i+4], ' ')"
+    ")))"
+).format(ws=_WS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = "('the','a','of','and','to','in','is','that','for','it')"
+    stop_de = "('der','die','das','und','ist','nicht','ein','zu','mit','von')"
+    stop_fr = "('le','la','les','et','est','un','une','pour','dans','que')"
+    stop_es = "('el','la','los','y','es','un','una','para','en','que')"
+    wsplit = f"regexp_split_to_array(trim(lower(text)), {_WS})"
+
+    return {
+        "g1_group_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_discount), 4) AS avg_disc
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "g2_regroup_hist": """
+            SELECT order_count, count(*) AS num_customers FROM (
+                SELECT o_custkey, count(*) AS order_count FROM orders GROUP BY 1
+            ) GROUP BY 1
+        """,
+        "g4_ratio": """
+            SELECT c.nationkey AS nationkey, cust_cnt, supp_cnt,
+                   round(cust_cnt / supp_cnt, 4) AS ratio
+            FROM (SELECT c_nationkey AS nationkey, count(*) AS cust_cnt FROM customer GROUP BY 1) c
+            JOIN (SELECT s_nationkey AS nationkey, count(*) AS supp_cnt FROM supplier GROUP BY 1) s
+              USING (nationkey)
+        """,
+        "g5_argpair_cap": """
+            SELECT l_returnflag,
+                   array_to_string(list_sort(list(DISTINCT l_orderkey))[1:5], ',') AS first_orderkeys,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        """,
+        "t7_topk": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY 1
+            ORDER BY total_spend DESC, o_custkey ASC LIMIT 10
+        """,
+        "t9_per_key_cap": """
+            SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+                FROM lineitem
+            ) WHERE rn <= 2 GROUP BY 1
+        """,
+        "j3_broadcast_dim": """
+            SELECT p_brand, count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size < 10 GROUP BY 1
+        """,
+        "j_left_anti": """
+            SELECT s_nationkey, count(*) AS cnt FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+            GROUP BY 1
+        """,
+        "j9_upsert": """
+            WITH base AS (
+                SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 0
+            ), updates AS (
+                SELECT o_orderkey, o_totalprice * 2 AS new_price FROM orders WHERE o_orderkey % 4 = 0
+            )
+            SELECT count(*) AS cnt, round(sum(coalesce(new_price, price)), 2) AS total
+            FROM base FULL OUTER JOIN updates USING (o_orderkey)
+        """,
+        "f2_doc_filters": """
+            SELECT lang, count(*) AS cnt, sum(n_chars) AS total_chars
+            FROM documents
+            WHERE n_chars BETWEEN 100 AND 450
+              AND NOT regexp_matches(text, '.*(http|\\().*')
+              AND length(trim(text)) > 0
+            GROUP BY 1
+        """,
+        "f9_hash_sample": """
+            SELECT count(*) AS cnt, min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+        """,
+        "g12_projections": """
+            WITH g AS (
+                SELECT l_returnflag, l_linestatus, count(*) AS size
+                FROM lineitem GROUP BY 1, 2
+            ), proj AS (
+                SELECT 'X_' AS mask, CAST(NULL AS VARCHAR) AS a1, l_linestatus AS a2, size FROM g
+                UNION ALL
+                SELECT '_X', l_returnflag, CAST(NULL AS VARCHAR), size FROM g
+                UNION ALL
+                SELECT 'XX', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), size FROM g
+            )
+            SELECT mask, a1, a2, sum(size) AS total FROM proj GROUP BY 1, 2, 3
+        """,
+        "set_union_distinct": """
+            SELECT c_nationkey, count(*) AS cnt FROM (
+                SELECT c_nationkey, c_custkey FROM customer WHERE c_acctbal > 5000
+                UNION
+                SELECT c_nationkey, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ) GROUP BY 1
+        """,
+        "q_conjunctive_topk": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+            ORDER BY price DESC, o_orderkey ASC LIMIT 20
+        """,
+        "w_t1_events_top2": """
+            SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn <= 2 GROUP BY 1
+        """,
+        "txt_token_count": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({wsplit}) END AS n_tokens
+            FROM documents
+        """,
+        "txt_lang_id": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       len(list_filter({wsplit}, w -> w IN {stop_en})) / greatest(len({wsplit}), 1) AS s_en,
+                       len(list_filter({wsplit}, w -> w IN {stop_de})) / greatest(len({wsplit}), 1) AS s_de,
+                       len(list_filter({wsplit}, w -> w IN {stop_fr})) / greatest(len({wsplit}), 1) AS s_fr,
+                       len(list_filter({wsplit}, w -> w IN {stop_es})) / greatest(len({wsplit}), 1) AS s_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM scored
+        """,
+        "txt_quality": f"""
+            SELECT doc_id, round(
+                (CASE WHEN len({wsplit}) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN length(text) / greatest(len({wsplit}), 1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN len(list_filter({wsplit}, w -> w IN {stop_en})) / greatest(len({wsplit}), 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
+              + 0.25 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / greatest(length(text), 1))
+            , 4) AS quality
+            FROM documents
+        """,
+        "txt_fingerprint": f"""
+            SELECT doc_id, list_min(list_transform({_SHINGLES5}, g -> md5(g))) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sigs AS (
+                SELECT doc_id, {_SHINGLES3}[1:512] AS sh FROM documents
+            ), mh AS (
+                SELECT doc_id,
+                       [list_min(list_transform(sh, g -> md5(CAST(j AS VARCHAR) || ':' || g)) )
+                        FOR j IN [0,1,2,3,4,5,6,7]] AS sig
+                FROM sigs WHERE len(sh) > 0
+            ), bands AS (
+                SELECT doc_id, b AS band_idx,
+                       md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+                FROM mh, (SELECT unnest([0,1,2,3]) AS b)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}[1:512]) AS shingle FROM documents
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+        """,
+        "dedup_simhash": (
+            "WITH w AS ("
+            f"  SELECT doc_id, md5(t.x) AS h FROM documents, unnest(list_distinct({wsplit})) AS t(x)"
+            "), v AS ("
+            "  SELECT doc_id, "
+            + ", ".join(
+                f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
+                f"THEN 1 ELSE -1 END) AS v{i}"
+                for i in range(16)
+            )
+            + "  FROM w GROUP BY doc_id)"
+            "SELECT doc_id, CAST("
+            + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
+            + " AS BIGINT) AS simhash FROM v"
+        ),
+        "dedup_embedding": """
+            WITH b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE a.nrm > 0 AND b.nrm > 0
+              AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.3
+        """,
+        "ann_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_dot_product(e.embedding, q.qvec) /
+                             (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                              sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE list_dot_product(e.embedding, e.embedding) > 0
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from openie_backend_spark.session import get_spark
+
+    spark = get_spark()
+    df = entry(spark)
+    print("entry rows:", df.count())
+    df.show(10, truncate=40)

@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All formulas are pure Spark SQL built-ins (JVM, whole-stage codegen —
+no Python in the hot path) and are expressible verbatim in ANSI SQL,
+so every operator here has a DuckDB oracle in ``__spark_entry__``.
+Deterministic hashing uses md5 (identical bytes across engines), never
+engine-native ``hash()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# High-frequency stopwords per language (n-gram-free heuristic
+# language-ID: the argmax of stopword hit-ratios). Small closed sets
+# keep the expression codegen-friendly.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"),
+}
+
+_WORD_SPLIT = r"\s+"
+
+
+def words(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), _WORD_SPLIT)
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), _WORD_SPLIT))
+    )
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    ws = words(col)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS[lang])))
+    return hits / F.greatest(F.size(ws), F.lit(1))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Predicted language = argmax over per-language stopword ratios,
+    'und' (undetermined) when nothing matches."""
+    ws = words(col)
+    total = F.greatest(F.size(ws), F.lit(1))
+
+    def _hits(stop):
+        # single-arg lambda factory: Spark inspects lambda arity, so a
+        # default-arg closure would be misread as an (element, index) fn
+        return F.size(F.filter(ws, lambda w: w.isin(*stop)))
+
+    scores = [(lang, _hits(stop) / total) for lang, stop in STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # first language (in insertion order) achieving the max wins
+    for lang, score in reversed(scores):
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: str | Column) -> Column:
+    """Document quality in [0,1]: length band, mean word length band,
+    alphabetic ratio and stopword presence — the standard cheap web-text
+    quality heuristics (Gopher-style rules), as one arithmetic column."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = words(c)
+    n_words = F.greatest(F.size(ws), F.lit(1))
+    n_chars = F.length(c)
+    mean_wl = n_chars / n_words
+    alpha_ratio = (
+        F.length(F.regexp_replace(c, "[^A-Za-z ]", "")) / F.greatest(n_chars, F.lit(1))
+    )
+    len_ok = F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 0.25).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(c) >= 0.05, 0.25).otherwise(0.0)
+    return F.round(len_ok + wl_ok + stop_ok + 0.25 * alpha_ratio, 4)
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, sorted (deterministic)."""
+    ws = words(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def fingerprint(col: str | Column, n: int = 5) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5 over the
+    document's word n-gram shingles (one stable id per near-identical
+    prefix-content document)."""
+    grams = shingles(col, n)
+    hashed = F.transform(grams, lambda g: F.md5(g))
+    return F.array_min(hashed)

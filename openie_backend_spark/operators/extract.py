@@ -86,54 +86,72 @@ def _confidence(toks, tags, e: reverb.Extraction) -> float:
     return round(min(max(c, 0.0), 1.0), 3)
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = [f.name for f in EXTRACTION_SCHEMA.fields]
-    for pdf in batches:
-        rows = []
-        for url, text, pre_tok, pre_pos, pre_chk in zip(
-            pdf["url"], pdf["text"], pdf["_tokens"], pdf["_pos"], pdf["_chunks"]
-        ):
-            if pre_tok is not None and len(pre_tok) > 0:
-                sentences = [(list(pre_tok), list(pre_pos), list(pre_chk))]
-            else:
-                sentences = [
-                    chunker.chunk_sentence(s) for s in chunker.split_sentences(text)
-                ]
-            for sid, (toks, tags, chks) in enumerate(sentences):
-                for e in reverb.extract(toks, tags, chks):
-                    (a1s, a1e), (rs, re_), (a2s, a2e) = e.arg1, e.rel, e.arg2
-                    seg = lambda s, t: (toks[s:t], tags[s:t])
-                    rows.append(
-                        (
-                            url, sid, toks, tags, chks,
-                            a1s, a1e, rs, re_, a2s, a2e,
-                            " ".join(toks[a1s:a1e]),
-                            " ".join(toks[rs:re_]),
-                            " ".join(toks[a2s:a2e]),
-                            stemmer.index_key_part(*seg(a1s, a1e)),
-                            stemmer.index_key_part(*seg(rs, re_)),
-                            stemmer.index_key_part(*seg(a2s, a2e)),
-                            stemmer.frontend_key_part(*seg(a1s, a1e)),
-                            stemmer.frontend_key_part(*seg(rs, re_)),
-                            stemmer.frontend_key_part(*seg(a2s, a2e)),
-                            stemmer.head_phrase(*seg(a1s, a1e)),
-                            stemmer.head_phrase(*seg(a2s, a2e)),
-                            _confidence(toks, tags, e),
+SLIM_SCHEMA = StructType(
+    [f for f in EXTRACTION_SCHEMA.fields
+     if f.name not in ("tokens", "pos_tags", "chunk_tags")]
+)
+
+
+def _make_extract_batches(include_layers: bool):
+    schema = EXTRACTION_SCHEMA if include_layers else SLIM_SCHEMA
+    cols = [f.name for f in schema.fields]
+
+    def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text, pre_tok, pre_pos, pre_chk in zip(
+                pdf["url"], pdf["text"], pdf["_tokens"], pdf["_pos"], pdf["_chunks"]
+            ):
+                if pre_tok is not None and len(pre_tok) > 0:
+                    sentences = [(list(pre_tok), list(pre_pos), list(pre_chk))]
+                else:
+                    sentences = [
+                        chunker.chunk_sentence(s) for s in chunker.split_sentences(text)
+                    ]
+                for sid, (toks, tags, chks) in enumerate(sentences):
+                    for e in reverb.extract(toks, tags, chks):
+                        (a1s, a1e), (rs, re_), (a2s, a2e) = e.arg1, e.rel, e.arg2
+                        seg = lambda s, t: (toks[s:t], tags[s:t])
+                        layers = (toks, tags, chks) if include_layers else ()
+                        rows.append(
+                            (
+                                url, sid, *layers,
+                                a1s, a1e, rs, re_, a2s, a2e,
+                                " ".join(toks[a1s:a1e]),
+                                " ".join(toks[rs:re_]),
+                                " ".join(toks[a2s:a2e]),
+                                stemmer.index_key_part(*seg(a1s, a1e)),
+                                stemmer.index_key_part(*seg(rs, re_)),
+                                stemmer.index_key_part(*seg(a2s, a2e)),
+                                stemmer.frontend_key_part(*seg(a1s, a1e)),
+                                stemmer.frontend_key_part(*seg(rs, re_)),
+                                stemmer.frontend_key_part(*seg(a2s, a2e)),
+                                stemmer.head_phrase(*seg(a1s, a1e)),
+                                stemmer.head_phrase(*seg(a2s, a2e)),
+                                _confidence(toks, tags, e),
+                            )
                         )
-                    )
-        yield pd.DataFrame(rows, columns=cols)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _extract_batches, schema
 
 
 def extract_pages(
     pages: DataFrame,
     lang: str = "en",
     text_col: str = "text",
+    include_layers: bool = True,
 ) -> DataFrame:
     """pages(url, text, lang, ...) → extraction rows.
 
     The language filter and column pruning happen BEFORE the Python
     stage so the parquet scan prunes to two columns and the filter
     pushes down (`.explain` shows PushedFilters + 2-column ReadSchema).
+    ``include_layers=False`` drops the three token-layer arrays from
+    the output — mapInPandas is opaque to Catalyst column pruning, so
+    pipelines that keep no instance payloads (SPO-only) must prune
+    here, not downstream; it cuts the Arrow transfer and every
+    downstream shuffle payload by ~5x.
     """
     src = (
         pages.filter(F.col("lang") == lang)
@@ -145,7 +163,8 @@ def extract_pages(
             F.lit(None).cast(ArrayType(StringType())).alias("_chunks"),
         )
     )
-    return src.mapInPandas(_extract_batches, EXTRACTION_SCHEMA)
+    fn, schema = _make_extract_batches(include_layers)
+    return src.mapInPandas(fn, schema)
 
 
 def extract_chunked(sentences: DataFrame) -> DataFrame:
@@ -159,4 +178,5 @@ def extract_chunked(sentences: DataFrame) -> DataFrame:
         F.col("pos_tags").alias("_pos"),
         F.col("chunk_tags").alias("_chunks"),
     )
-    return src.mapInPandas(_extract_batches, EXTRACTION_SCHEMA)
+    fn, schema = _make_extract_batches(True)
+    return src.mapInPandas(fn, schema)

@@ -40,6 +40,12 @@ _INSTANCE_COLS = [
 ]
 
 
+def _instance_cols(df) -> list[str]:
+    # slim extraction mode drops the token-layer arrays; the instance
+    # struct adapts to whatever payload the pipeline carries
+    return [c for c in _INSTANCE_COLS if c in df.columns or c == "corpus"]
+
+
 def _scrub(col):
     # M9: tabs → space, control chars stripped
     return F.regexp_replace(F.regexp_replace(col, "\t", " "), r"\p{Cntrl}", "")
@@ -63,8 +69,9 @@ def group_extractions(
         & (F.length("arg2_norm") > 0)
     )
     ex = ex.withColumn("confidence", F.round("confidence", 3))
+    inst_cols = _instance_cols(ex)
     # instance Set semantics: structural dedup before grouping
-    ex = ex.dropDuplicates(GROUP_KEY + _INSTANCE_COLS)
+    ex = ex.dropDuplicates(GROUP_KEY + inst_cols)
 
     w = Window.partitionBy(*GROUP_KEY).orderBy(
         F.desc("confidence"), F.asc("url"), F.asc("sent_id"), F.asc("arg1_start")
@@ -74,7 +81,7 @@ def group_extractions(
         .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy(*GROUP_KEY)))
         .filter((F.col("_cnt") <= max_group_size) & (F.col("_rn") <= max_instances))
     )
-    instance = F.struct(*[F.col(c) for c in _INSTANCE_COLS]).alias("instance")
+    instance = F.struct(*[F.col(c) for c in inst_cols]).alias("instance")
     grouped = (
         ex.select(*GROUP_KEY, "arg1_frontend", "rel_frontend", "arg2_frontend",
                   "arg1_head", "arg2_head", "_rn", instance)

@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k of every query against the
+  corpus: a broadcast nested-loop of a SMALL query set against the big
+  corpus (queries are broadcast; the corpus is never shuffled), dot
+  products computed JVM-side with zip_with/aggregate inside
+  whole-stage codegen. This is the correctness baseline.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH buckets
+  (deterministic seeded planes); queries probe only their bucket (and
+  optionally neighboring bands), turning the scan into an equality
+  join. Recall < 1 by construction; the bench reports both.
+
+At 100 TB the corpus side stays partitioned on disk; both operators
+are single-pass over it (no self-shuffle). For billion-scale a
+coarse-quantizer (IVF) variant drops in by replacing the bucket
+expression with an assigned-centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries(query_id, embedding)``
+    must be small (broadcast)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("cnrm"),
+    ).filter(F.col("cnrm") > 0)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("qnrm"),
+    ).filter(F.col("qnrm") > 0)
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm")), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7):
+    """Deterministic pseudo-random hyperplanes (LCG — reproducible
+    across engines and runs without numpy RNG state)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes) -> "F.Column":
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat_ws("", *bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucketing, exact rerank
+    within the query's bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes)) \
+     .withColumn("cnrm", _norm(F.col("cvec"))).filter(F.col("cnrm") > 0)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("qvec"), planes)) \
+     .withColumn("qnrm", _norm(F.col("qvec"))).filter(F.col("qnrm") > 0)
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine",
+        F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm")), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
