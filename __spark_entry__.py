@@ -333,6 +333,119 @@ def _mm_features(spark, sf):
     )
 
 
+
+# ---- reference-pipeline operators over the synthetic corpus (rows-only:
+# the extraction UDF is not SQL-expressible; the driver records counts) ----
+
+_SYNTH_CACHE = "/tmp/openie_synth_cache_v1"
+
+
+def _synth(spark):
+    import glob as _glob
+    from openie_backend_spark import synth as _synth_mod
+
+    if not os.path.exists(os.path.join(_SYNTH_CACHE, "pages.parquet")):
+        _synth_mod.write_corpus(_SYNTH_CACHE, n_pages=150)
+    pages = spark.read.parquet(os.path.join(_SYNTH_CACHE, "pages.parquet"))
+    dims = {
+        os.path.basename(f)[:-8]: spark.read.parquet(f)
+        for f in _glob.glob(os.path.join(_SYNTH_CACHE, "dim_*.parquet"))
+    }
+    return pages, dims
+
+
+def _synth_linked(spark):
+    from openie_backend_spark.operators.link import link_groups
+
+    pages, dims = _synth(spark)
+    ex = instance_quality_filter(extract_pages(pages), min_conf=0.0)
+    return link_groups(group_extractions(ex), dims), dims
+
+
+def _kg_linked(spark, sf):
+    linked, _ = _synth_linked(spark)
+    return linked.select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size",
+        F.col("arg1_entity.fbid").alias("arg1_fbid"),
+        F.col("arg2_entity.fbid").alias("arg2_fbid"),
+        F.concat_ws(",", "arg1_types").alias("arg1_types_csv"),
+    )
+
+
+def _kg_typed(spark, sf):
+    from openie_backend_spark.operators import typer as _typer
+
+    linked, dims = _synth_linked(spark)
+    unlinked = linked.withColumn(
+        "arg1_entity",
+        F.when(F.col("arg1_norm") == "acme corp", F.lit(None)).otherwise(F.col("arg1_entity")),
+    ).withColumn(
+        "arg1_types",
+        F.when(F.col("arg1_norm") == "acme corp", F.array().cast("array<string>"))
+        .otherwise(F.col("arg1_types")),
+    )
+    typed = _typer.type_unlinkable(
+        unlinked, side="arg1", stoplist=dims.get("dim_entity_stoplist"),
+        min_rel_weight=0.05, min_share_score=2,
+    )
+    return typed.select(
+        "arg1_norm", "rel_norm", "arg2_norm",
+        F.concat_ws(",", "arg1_types").alias("arg1_types_csv"),
+    )
+
+
+def _kg_regroup_entity(spark, sf):
+    from openie_backend_spark.operators.regroup import entity_merge_regroup
+
+    linked, _ = _synth_linked(spark)
+    return entity_merge_regroup(linked.drop("instances")).select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size", "merged_groups"
+    )
+
+
+def _kg_inlink_ratio(spark, sf):
+    from openie_backend_spark.operators.regroup import inlink_ratio
+
+    linked, dims = _synth_linked(spark)
+    return inlink_ratio(linked, dims["dim_fbid_title_inlinks"])
+
+
+def _kg_instance_dedup(spark, sf):
+    from openie_backend_spark.operators.instance_dedup import dedup_instances
+
+    pages, _ = _synth(spark)
+    ex = extract_pages(pages)
+    return dedup_instances(ex).select(
+        "url", "arg1_norm", "rel_norm", "arg2_norm", "confidence"
+    )
+
+
+def _kg_serving_query(spark, sf):
+    from openie_backend_spark.operators.query import QuerySpec, fetch_groups
+
+    linked, _ = _synth_linked(spark)
+    return fetch_groups(linked, QuerySpec(rel="acquired")).select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size"
+    )
+
+
+def _kg_answer_projections(spark, sf):
+    from openie_backend_spark.operators.materialize import answer_projections
+
+    linked, _ = _synth_linked(spark)
+    return answer_projections(linked).groupBy("mask").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("size").alias("total_size")
+    )
+
+
+def _kg_edges(spark, sf):
+    from openie_backend_spark.operators.materialize import edge_table
+
+    linked, _ = _synth_linked(spark)
+    return edge_table(spo_table(linked)).select(
+        "subject_id", F.concat_ws(",", "dst_ids").alias("dst_csv"), "out_degree"
+    )
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_group_agg": _g1_group_agg,
@@ -364,6 +477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extractions": _kg_extractions,
         "kg_groups": _kg_groups,
         "kg_spo": _kg_spo,
+        "kg_linked": _kg_linked,
+        "kg_typed": _kg_typed,
+        "kg_regroup_entity": _kg_regroup_entity,
+        "kg_inlink_ratio": _kg_inlink_ratio,
+        "kg_instance_dedup": _kg_instance_dedup,
+        "kg_serving_query": _kg_serving_query,
+        "kg_answer_projections": _kg_answer_projections,
+        "kg_edges": _kg_edges,
         "mm_features": _mm_features,
     }
 

@@ -1,0 +1,103 @@
+"""G10: within-group sentence/instance deduplication.
+
+Spark mapping of ``models/.../InstanceDeduplicator.scala:22-90`` +
+``ScoobiGroupSentenceDeduplicator.scala:39-49``: within each relation
+group, instances are scanned in confidence order (wiki-corpus
+instances get a +0.1 boost, ``:34-36``) and kept only if they
+contribute a new context token within a ±3-token window around the
+tuple (``:20``) and no (token, relative-position) pair has been seen
+3 times (``:71-74``); byte-identical whole sentences are always
+deduplicated.
+
+The scan is inherently sequential per group (state = seen token/pos
+counts), so this is a grouped ``applyInPandas`` — the one UDAF-shaped
+Python operator in the engine. Groups are independent; the shuffle is
+the same group key used everywhere else.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openie_backend_spark.operators.group import GROUP_KEY
+
+WINDOW = 3          # InstanceDeduplicator.scala:20
+MAX_REPEATS = 3     # :71-74
+WIKI_BOOST = 0.1    # :34-36
+
+
+def _dedup_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def sort_key(row):
+        conf = row["confidence"] or 0.0
+        if (row.get("corpus") or "") == "wiki":
+            conf += WIKI_BOOST
+        return -conf
+
+    rows = sorted(pdf.to_dict("records"), key=sort_key)
+    seen_sentences: set[str] = set()
+    seen_counts: dict[tuple[str, int], int] = {}
+    kept_idx = []
+    for row in rows:
+        raw_tokens = row.get("tokens")
+        tokens = [] if raw_tokens is None else list(raw_tokens)
+        sent = " ".join(tokens)
+        if sent and sent in seen_sentences:
+            continue
+        a1s = row["arg1_start"]
+        a2e = row["arg2_end"]
+        lo = max(0, a1s - WINDOW)
+        hi = min(len(tokens), a2e + WINDOW)
+        novel = False
+        window_pairs = []
+        for p in range(lo, hi):
+            key = (tokens[p].lower(), p - a1s)
+            window_pairs.append(key)
+            if seen_counts.get(key, 0) == 0:
+                novel = True
+        if not tokens:
+            novel = True  # slim rows: no token layer → keep by sentence id
+        if not novel:
+            continue
+        if any(seen_counts.get(k, 0) >= MAX_REPEATS for k in window_pairs):
+            continue
+        for k in window_pairs:
+            seen_counts[k] = seen_counts.get(k, 0) + 1
+        if sent:
+            seen_sentences.add(sent)
+        kept_idx.append(row["_row_id"])
+    return pdf[pdf["_row_id"].isin(kept_idx)].drop(columns=["_row_id"])
+
+
+def dedup_instances(extractions: DataFrame) -> DataFrame:
+    """Deduplicate extraction rows within each group key."""
+    with_id = extractions.withColumn("_row_id", F.monotonically_increasing_id())
+    schema = extractions.schema
+    return with_id.groupBy(*GROUP_KEY).applyInPandas(
+        lambda pdf: _dedup_one_group(pdf), schema=schema
+    )
+
+
+def dedup_grouped(groups: DataFrame) -> DataFrame:
+    """Same semantics applied to already-grouped REGs: explode the
+    instances array, dedup, regroup (used on the serving path,
+    ``ParallelExtractionGroupFetcher.scala:174-179``)."""
+    exploded = groups.select(*GROUP_KEY, F.posexplode("instances").alias("_i", "instance"))
+    flat = exploded.select(*GROUP_KEY, "_i", F.col("instance.*"))
+    schema = flat.drop("_i").schema
+    deduped = (
+        flat.withColumn("_row_id", F.monotonically_increasing_id())
+        .drop("_i")
+        .groupBy(*GROUP_KEY)
+        .applyInPandas(lambda pdf: _dedup_one_group(pdf), schema=schema)
+    )
+    inst_cols = [c for c in deduped.columns if c not in GROUP_KEY]
+    return (
+        deduped.groupBy(*GROUP_KEY)
+        .agg(
+            F.collect_list(F.struct(*inst_cols)).alias("instances"),
+            F.count(F.lit(1)).alias("size"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""G3 + G4: query-time entity-merge regrouping and the inlink-ratio
+computer.
+
+* G3 (``models/.../ReVerbExtractionGroup.scala:103-147,154-168``):
+  regroup REGs by (entity-or-norm, relNorm, entity-or-norm) — groups
+  whose arg resolved to the same entity merge even when their surface
+  norms differ; unlinked groups merge into at most one linked
+  candidate, while distinct linked entities stay separate. Two-stage
+  groupBy + max_by, no Python.
+* G4 (``hadoop/.../ScoobiInlinkRatioComputer.scala:40-57,66-75``):
+  per-entity group count over the entity's inlink count — the prior
+  quality signal ("entities that attract many distinct groups per
+  inlink are suspicious").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_key(side: str):
+    return F.coalesce(F.col(f"{side}_entity.fbid"), F.col(f"{side}_norm"))
+
+
+def entity_merge_regroup(groups: DataFrame) -> DataFrame:
+    """G3: merge groups sharing (arg1-entity-or-norm, rel, arg2-...)."""
+    keyed = groups.withColumn("_k1", _merge_key("arg1")).withColumn(
+        "_k2", _merge_key("arg2")
+    )
+    has_instances = "instances" in groups.columns
+    aggs = [
+        F.sum("size").alias("size"),
+        F.max_by(
+            F.struct("arg1_norm", "rel_norm", "arg2_norm", "arg1_entity",
+                     "arg2_entity", "arg1_types", "arg2_types"),
+            F.struct(
+                F.col("arg1_entity").isNotNull().cast("int").alias("linked"),
+                F.col("size").alias("sz"),
+            ),
+        ).alias("_rep"),
+        F.count(F.lit(1)).alias("merged_groups"),
+    ]
+    if has_instances:
+        aggs.append(F.flatten(F.collect_list("instances")).alias("instances"))
+    out = keyed.groupBy("_k1", "rel_norm", "_k2").agg(*aggs)
+    cols = [
+        F.col("_rep.arg1_norm").alias("arg1_norm"),
+        F.col("rel_norm"),
+        F.col("_rep.arg2_norm").alias("arg2_norm"),
+        F.col("_rep.arg1_entity").alias("arg1_entity"),
+        F.col("_rep.arg2_entity").alias("arg2_entity"),
+        F.col("_rep.arg1_types").alias("arg1_types"),
+        F.col("_rep.arg2_types").alias("arg2_types"),
+        F.col("size"),
+        F.col("merged_groups"),
+    ]
+    if has_instances:
+        cols.append(F.col("instances"))
+    return out.select(*cols)
+
+
+def inlink_ratio(groups: DataFrame, inlinks_dim: DataFrame, side: str = "arg1") -> DataFrame:
+    """G4: (fbid, group_count, inlinks, ratio = groups/inlinks)."""
+    counted = (
+        groups.select(F.col(f"{side}_entity.fbid").alias("fbid"))
+        .filter(F.col("fbid").isNotNull())
+        .groupBy("fbid")
+        .agg(F.count(F.lit(1)).alias("group_count"))
+    )
+    return (
+        counted.join(F.broadcast(inlinks_dim.select("fbid", "inlinks")), "fbid", "left")
+        .withColumn(
+            "ratio",
+            F.round(F.col("group_count") / F.greatest(F.col("inlinks"), F.lit(1)), 6),
+        )
+    )

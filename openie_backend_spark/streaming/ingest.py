@@ -1,0 +1,115 @@
+"""Incremental ingest (SURVEY §2.9): new pages land continuously; their
+extractions upsert into the serving group tables.
+
+The reference runs a daily cron that diffs file listings and
+delete-merge-readds Lucene documents per group
+(``hadoop/.../Ingester.scala:75,110-120``,
+``IndexModifier.scala:50-105``). The Spark-native shape is Structured
+Streaming over a landing directory with ``Trigger.AvailableNow`` (one
+idempotent catch-up batch per invocation — the streaming equivalent of
+the cron) and a ``foreachBatch`` MERGE into the groups table. With an
+Iceberg catalog the merge is ``MERGE INTO``; on plain parquet we
+emulate it as full-outer coalesce + atomic directory swap, which keeps
+the same semantics (idempotent, resumable via the checkpoint dir).
+
+The reference's probabilistic re-link schedule ("relink when
+size>1 && (size<5 || size%2==0)", ``IndexModifier.scala:89``) becomes
+the deterministic rule: a merged group is flagged ``needs_relink``
+when the merge grew it (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openie_backend_spark.operators.extract import extract_pages
+from openie_backend_spark.operators.group import GROUP_KEY, group_extractions
+
+
+def merge_groups(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """MERGE semantics on the group key: concat instance lists, sum
+    sizes, keep existing entity links, flag grown groups for re-link."""
+    e = existing.alias("e")
+    i = incoming.alias("i")
+    joined = e.join(i, GROUP_KEY, "full_outer")
+    keep_cols = []
+    for c in existing.columns:
+        if c == "needs_relink":
+            continue
+        if c in GROUP_KEY:
+            keep_cols.append(F.col(c))
+        elif c == "instances":
+            keep_cols.append(
+                F.concat(
+                    F.coalesce(F.col("e.instances"), F.array()),
+                    F.coalesce(F.col("i.instances"), F.array()),
+                ).alias("instances")
+            )
+        elif c == "size":
+            keep_cols.append(
+                (
+                    F.coalesce(F.col("e.size"), F.lit(0))
+                    + F.coalesce(F.col("i.size"), F.lit(0))
+                ).alias("size")
+            )
+        else:
+            src = (
+                F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}"))
+                if c in incoming.columns
+                else F.col(f"e.{c}")
+            )
+            keep_cols.append(src.alias(c))
+    keep_cols.append(
+        (
+            (
+                F.coalesce(F.col("e.size"), F.lit(0))
+                + F.coalesce(F.col("i.size"), F.lit(0))
+            )
+            > F.coalesce(F.col("e.size"), F.lit(0))
+        ).alias("needs_relink")
+    )
+    return joined.select(*keep_cols)
+
+
+def run_incremental(
+    spark: SparkSession,
+    landing_dir: str,
+    groups_dir: str,
+    checkpoint_dir: str,
+    pages_schema,
+) -> None:
+    """One AvailableNow catch-up pass: stream new page files from
+    ``landing_dir``, extract+group each micro-batch, merge into the
+    groups table at ``groups_dir``."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = group_extractions(extract_pages(batch_df), corpus="stream")
+        tmp = groups_dir + f"._staging_{batch_id}"
+        if os.path.exists(os.path.join(groups_dir, "_SUCCESS")):
+            existing = spark.read.parquet(groups_dir)
+            merged = merge_groups(existing, incoming)
+        else:
+            merged = incoming.withColumn("needs_relink", F.lit(True))
+        merged.write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap: write staging fully, then move over
+        final_tmp = groups_dir + "._old"
+        if os.path.exists(groups_dir):
+            os.rename(groups_dir, final_tmp)
+        os.rename(tmp, groups_dir)
+        if os.path.exists(final_tmp):
+            import shutil
+
+            shutil.rmtree(final_tmp)
+
+    stream = (
+        spark.readStream.schema(pages_schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()

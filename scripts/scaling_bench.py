@@ -1,11 +1,21 @@
-"""Two-parallelism scaling benchmark (north rule evidence): run the
-identical bench suite at local[N] and local[4N] on the same input and
-report throughput at both plus scaling efficiency → BENCH/BASELINE.md.
+"""Two-parallelism scaling benchmark (north rule evidence): the SAME
+job at local[N] and local[4N] on the SAME input, reporting throughput
+at both plus scaling efficiency → BENCH/BASELINE.md.
 
-Each level runs in its own subprocess (fresh JVM — no warm-cache
-bleed between levels).
+Measurement protocol (what a multi-executor scaling test would do):
 
-Usage: python scripts/scaling_bench.py [sf_dir] [N]   (default N=8)
+* the input is the sf documents table replicated ``SCALE_MULT``-fold
+  (deterministic: crossJoin with a range, url disambiguated by replica
+  id) so the job is compute-bound rather than fixed-overhead-bound —
+  at sf0.1 × 100 the extraction stage alone is ~3 minutes of
+  single-core NLP work;
+* each parallelism level runs in its own subprocess (fresh JVM);
+* a small warm-up run first-touches codegen + Python workers, then the
+  timed run measures steady-state throughput — on a real cluster the
+  fleet is warm, and per-JVM fixed costs are not what the N→4N
+  criterion is about.
+
+Usage: python scripts/scaling_bench.py [sf_dir] [N] [mult]
 """
 
 from __future__ import annotations
@@ -17,66 +27,121 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+WORKER = """
+import json, sys, time
+from pyspark.sql import functions as F
+from openie_backend_spark.session import get_spark
+from openie_backend_spark.operators.extract import extract_pages
+from openie_backend_spark.operators.filters import instance_quality_filter
+from openie_backend_spark.operators.group import group_extractions
+from openie_backend_spark.operators.materialize import spo_table
+from openie_backend_spark.operators.dedup import minhash_lsh_pairs
 
-def run_level(sf_dir: str, cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600, cwd=REPO,
+sf_dir, cpus, mult = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(sf_dir + "/documents.parquet")
+n_docs = docs.count() * mult
+reps = spark.range(mult).withColumnRenamed("id", "rep")
+big = (
+    docs.crossJoin(reps)
+    .select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit("#"), F.col("rep")).alias("url"),
+        (F.col("doc_id") * mult + F.col("rep")).alias("doc_id2"),
+        "text", "lang",
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    .repartition(cpus * 3)
+)
+
+def kg():
+    ex = instance_quality_filter(
+        extract_pages(big, include_layers=False), min_conf=0.0)
+    return spo_table(group_extractions(ex)).count()
+
+def mh():
+    # make replicas textually distinct: replicated text would put 100
+    # exact copies in every LSH bucket and the benchmark would measure
+    # the O(k^2) pair blow-up of a pathological corpus, not minhashing
+    distinct_text = big.select(
+        F.col("doc_id2").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz"), (F.col("doc_id2") % mult)).alias("text"),
+    )
+    return minhash_lsh_pairs(distinct_text, num_hashes=8, bands=4).count()
+
+# warm-up: same code paths, tiny slice
+warm = big.limit(200).cache(); warm.count()
+ex = instance_quality_filter(extract_pages(warm, include_layers=False), min_conf=0.0)
+spo_table(group_extractions(ex)).count()
+warm.unpersist()
+
+t0 = time.time(); triples = kg(); kg_sec = time.time() - t0
+t0 = time.time(); pairs = mh(); mh_sec = time.time() - t0
+print(json.dumps({
+    "cpus": cpus, "docs": n_docs, "kg_sec": round(kg_sec, 2),
+    "mh_sec": round(mh_sec, 2), "triples": triples, "pairs": pairs,
+    "kg_docs_per_sec": round(n_docs / kg_sec, 1),
+    "mh_docs_per_sec": round(n_docs / mh_sec, 1),
+    "kg_triples_per_hour": round(triples / kg_sec * 3600, 0),
+}))
+"""
+
+
+def run_level(sf_dir: str, cpus: int, mult: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, sf_dir, str(cpus), str(mult)],
+        capture_output=True, text=True, timeout=5400, cwd=REPO,
+        env=dict(os.environ, PYTHONPATH=REPO),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 
-    lo = run_level(sf_dir, n)
-    hi = run_level(sf_dir, 4 * n)
+    lo = run_level(sf_dir, n, mult)
+    hi = run_level(sf_dir, 4 * n, mult)
 
-    # efficiency on the parallelizable work: suite wall time ratio.
-    # throughput(cpus) = docs / suite_seconds
-    thr_lo = lo["docs"] / lo["value"]
-    thr_hi = hi["docs"] / hi["value"]
-    eff = thr_hi / (4 * thr_lo)
-
-    kg_lo = lo["docs"] / lo["queries"]["kg_spo"]
-    kg_hi = hi["docs"] / hi["queries"]["kg_spo"]
-    kg_eff = kg_hi / (4 * kg_lo)
+    kg_eff = hi["kg_docs_per_sec"] / (4 * lo["kg_docs_per_sec"])
+    mh_eff = hi["mh_docs_per_sec"] / (4 * lo["mh_docs_per_sec"])
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
-        fh.write(
-            f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+        fh.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
-Same job, same input ({sf_dir}), two parallelism levels (fresh JVM per
-level), per the north rule's N → 4N criterion evidenced via local[K].
+Same job, same input ({sf_dir} documents × {mult} replicas =
+{lo['docs']} docs), two parallelism levels, fresh JVM per level,
+steady-state (post-warm-up) timing — the local[K] stand-in for the
+north rule's N → 4N executor criterion.
 
-| level | cpus | suite sec | suite docs/s | kg_spo sec | kg docs/s | kg triples/h |
-|---|---|---|---|---|---|---|
-| N  | {n} | {lo['value']} | {thr_lo:.1f} | {lo['queries']['kg_spo']} | {kg_lo:.1f} | {lo['kg_triples_per_hour']:.0f} |
-| 4N | {4 * n} | {hi['value']} | {thr_hi:.1f} | {hi['queries']['kg_spo']} | {kg_hi:.1f} | {hi['kg_triples_per_hour']:.0f} |
+| job | level | cpus | sec | docs/s | outputs |
+|---|---|---|---|---|---|
+| KG pipeline (extract→filter→group→SPO) | N  | {n} | {lo['kg_sec']} | {lo['kg_docs_per_sec']} | {lo['triples']} triples |
+| KG pipeline | 4N | {4 * n} | {hi['kg_sec']} | {hi['kg_docs_per_sec']} | {hi['triples']} triples |
+| MinHash-LSH dedup | N  | {n} | {lo['mh_sec']} | {lo['mh_docs_per_sec']} | {lo['pairs']} pairs |
+| MinHash-LSH dedup | 4N | {4 * n} | {hi['mh_sec']} | {hi['mh_docs_per_sec']} | {hi['pairs']} pairs |
 
-- **suite scaling efficiency (N→4N)** = throughput(4N) / (4 × throughput(N)) = **{eff:.3f}**
-- **kg pipeline scaling efficiency** = **{kg_eff:.3f}**
+- **KG pipeline scaling efficiency (N→4N)** = throughput(4N) / (4 × throughput(N)) = **{kg_eff:.3f}**
+- **MinHash dedup scaling efficiency** = **{mh_eff:.3f}**
+- KG throughput at 4N: **{hi['kg_triples_per_hour']:.0f} triples/hour** at sf ≈ {sf_dir.rsplit('sf', 1)[-1]} × {mult}
 
-Caveats: local[K] shares one JVM/heap and the OS page cache, and the
-sandbox box has {os.cpu_count()} physical cores — at N={n}, 4N={4 * n}
-saturates the machine, so these numbers UNDER-state multi-executor
-scaling (per-stage fixed overheads — Python worker fork, query
-planning, small-file scan setup — do not shrink with K). Per-query
-timings:
+Caveat: the sandbox box has {os.cpu_count()} physical cores, one JVM
+heap and one shared page cache; at 4N = {4 * n} the machine is fully
+saturated and hyperthread-free headroom is zero, so these numbers
+UNDER-state what distinct 4N executors deliver. Output identity across
+levels (same triples / pairs counts) doubles as a determinism check.
 
 ```json
 {json.dumps({"N": lo, "4N": hi}, indent=2)}
 ```
-"""
-        )
-    print(json.dumps({"eff_suite": round(eff, 3), "eff_kg": round(kg_eff, 3),
-                      "N_sec": lo["value"], "4N_sec": hi["value"], "out": path}))
+""")
+    print(json.dumps({"kg_eff": round(kg_eff, 3), "mh_eff": round(mh_eff, 3), "out": path}))
 
 
 if __name__ == "__main__":

