@@ -70,9 +70,17 @@ def group_extractions(
     )
     ex = ex.withColumn("confidence", F.round("confidence", 3))
     inst_cols = _instance_cols(ex)
-    # instance Set semantics: structural dedup before grouping
-    ex = ex.dropDuplicates(GROUP_KEY + inst_cols)
-
+    # instance Set semantics (dedup by full structural equality):
+    # identical instances necessarily share the group key, so the dedup
+    # can ride the SAME hash partitioning as the cap windows — a
+    # lag-over-sorted-hash within the key instead of a second exchange
+    # (dropDuplicates on key+instance would shuffle the data twice)
+    ih = F.md5(F.to_json(F.struct(*[F.col(c) for c in inst_cols])))
+    ex = ex.withColumn("_ih", ih)
+    w_dup = Window.partitionBy(*GROUP_KEY).orderBy("_ih")
+    ex = ex.withColumn("_prev_ih", F.lag("_ih").over(w_dup)).filter(
+        F.col("_prev_ih").isNull() | (F.col("_prev_ih") != F.col("_ih"))
+    )
     w = Window.partitionBy(*GROUP_KEY).orderBy(
         F.desc("confidence"), F.asc("url"), F.asc("sent_id"), F.asc("arg1_start")
     )
@@ -80,6 +88,7 @@ def group_extractions(
         ex.withColumn("_rn", F.row_number().over(w))
         .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy(*GROUP_KEY)))
         .filter((F.col("_cnt") <= max_group_size) & (F.col("_rn") <= max_instances))
+        .drop("_ih", "_prev_ih")
     )
     instance = F.struct(*[F.col(c) for c in inst_cols]).alias("instance")
     grouped = (

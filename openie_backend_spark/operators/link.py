@@ -96,13 +96,29 @@ def _link_side(
 ) -> DataFrame:
     """Resolve one argument side to its best entity candidate."""
     head_col = f"{side}_head"
-    # sentence tokens of the top instance provide the context bag
+    # context bag: sentence tokens of the top instance when the
+    # pipeline carries token layers; in slim mode fall back to the
+    # triple's own words (weaker but well-defined context)
+    inst_fields = {
+        f.name
+        for f in groups.schema["instances"].dataType.elementType.fields
+    } if "instances" in groups.columns else set()
+    if "tokens" in inst_fields:
+        context = F.transform(
+            F.element_at("instances", 1)["tokens"], lambda t: F.lower(t)
+        )
+    else:
+        top = F.element_at("instances", 1)
+        context = F.split(
+            F.lower(
+                F.concat_ws(" ", top["arg1_text"], top["rel_text"], top["arg2_text"])
+            ),
+            " ",
+        )
     src = groups.select(
         *GROUP_KEY,
         F.split(F.col(head_col), " ").alias("_head_words"),
-        F.transform(
-            F.element_at("instances", 1)["tokens"], lambda t: F.lower(t)
-        ).alias("_sent_tokens"),
+        context.alias("_sent_tokens"),
     ).filter(F.size("_head_words") > 0)
 
     # all left-suffixes of the head phrase, shrink index 0 = full phrase

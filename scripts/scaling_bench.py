@@ -67,7 +67,9 @@ def mh():
         F.col("doc_id2").alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz"), (F.col("doc_id2") % mult)).alias("text"),
     )
-    return minhash_lsh_pairs(distinct_text, num_hashes=8, bands=4).count()
+    return minhash_lsh_pairs(
+        distinct_text, num_hashes=8, bands=4, max_full_bucket=20
+    ).count()
 
 # warm-up: same code paths, tiny slice
 warm = big.limit(200).cache(); warm.count()
@@ -102,7 +104,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 400
 
     lo = run_level(sf_dir, n, mult)
     hi = run_level(sf_dir, 4 * n, mult)
