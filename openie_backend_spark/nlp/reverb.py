@@ -337,7 +337,10 @@ def _find_arg1(
                 i = k
                 continue
             if low == ",":
-                if follower != "wh":
+                # a comma directly after a crossed verb group is VP
+                # punctuation ("closed higher in Zurich , ... and were")
+                # — the walk is still hunting the shared subject
+                if follower not in ("wh", "verb"):
                     follower = "comma"
                 i = k
                 continue
@@ -408,7 +411,8 @@ def _find_arg1(
             prev = s - 1
             if prev < 0 or quote_seen:
                 skip = False
-            elif chunks[prev] in ("B-SBAR", "I-SBAR"):
+            elif chunks[prev] in ("B-SBAR", "I-SBAR") or tokens[prev].lower() in SUBORDINATORS:
+                # complement-clause subject: "charges that [Better Book] , ... , made"
                 skip = False
             elif pos[prev] in VERB_TAGS and pos[prev] != "VBG":
                 skip = False

@@ -104,6 +104,7 @@ class Pipeline:
         pages: DataFrame,
         dims: dict[str, DataFrame] | None = None,
         corpus: str = "cc",
+        run_typer: bool = False,
     ) -> dict[str, DataFrame]:
         extractions = self.stage(
             "extractions", lambda: extract.extract_pages(pages)
@@ -123,6 +124,18 @@ class Pipeline:
             linked = self.stage(
                 "groups_linked", lambda: link.link_groups(groups_kept, dims)
             )
+            if run_typer:
+                from openie_backend_spark.operators import typer
+
+                stop = dims.get("dim_entity_stoplist")
+                linked = self.stage(
+                    "groups_typed",
+                    lambda: typer.type_unlinkable(
+                        typer.type_unlinkable(linked, "arg1", stop),
+                        "arg2",
+                        stop,
+                    ),
+                )
         else:
             linked = groups_kept
         spo = self.stage(
