@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis): total functions never crash and
+hold their invariants on arbitrary input."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openie_backend_spark.nlp import chunker, reverb, stemmer
+
+TAGS = ["DT", "NN", "NNS", "NNP", "VBD", "VBZ", "VB", "IN", "TO", "JJ",
+        "RB", "PRP", "CD", ",", ".", "CC", "WDT", "MD", "RP", "POS"]
+CHUNKS = ["B-NP", "I-NP", "B-VP", "I-VP", "B-PP", "B-ADVP", "B-ADJP",
+          "B-SBAR", "O", "B-PRT"]
+
+token = st.text(alphabet=st.characters(codec="ascii", exclude_characters="\t\n\r"),
+                min_size=1, max_size=12)
+
+
+@given(
+    st.integers(min_value=0, max_value=25).flatmap(
+        lambda n: st.tuples(
+            st.lists(token, min_size=n, max_size=n),
+            st.lists(st.sampled_from(TAGS), min_size=n, max_size=n),
+            st.lists(st.sampled_from(CHUNKS), min_size=n, max_size=n),
+        )
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_extract_total_and_spans_valid(layers):
+    toks, tags, chunks = layers
+    out = reverb.extract(toks, tags, chunks)
+    n = len(toks)
+    for e in out:
+        for s, t in (e.arg1, e.rel, e.arg2):
+            assert 0 <= s < t <= n
+        assert e.arg1[1] <= e.rel[0] or e.arg1[0] >= e.rel[1]  # args don't start inside rel... arg1 left of rel
+        assert e.arg2[0] == e.rel[1]  # arg2 adjacency invariant
+
+
+@given(token, st.sampled_from(TAGS))
+@settings(max_examples=300, deadline=None)
+def test_stemmer_total_and_idempotent(word, tag):
+    out = stemmer.stem_token(word, tag)
+    assert isinstance(out, str)
+    # lemmatizing a lemma is a no-op for verbs in the lexicon
+    if tag.startswith("VB"):
+        again = stemmer.stem_token(out, tag)
+        assert stemmer.stem_token(again, tag) == again  # reaches fixpoint
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_chunker_total_and_aligned(text):
+    for sent in chunker.split_sentences(text):
+        toks, tags, chunks = chunker.chunk_sentence(sent)
+        assert len(toks) == len(tags) == len(chunks)
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_lnrm_alnum_only(text):
+    out = stemmer.lnrm(text)
+    assert all(c.isalnum() for c in out)
+    assert out == out.lower()
