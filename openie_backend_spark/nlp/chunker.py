@@ -23,6 +23,7 @@ _SENT_SPLIT = re.compile(r"(?<=[.!?])[\s ]+(?=[A-Z\"'(0-9])")
 _TOKEN = re.compile(
     r"n't|'s|'re|'ve|'ll|'d|'m|[A-Za-z]+(?:[-.][A-Za-z]+)*\.?|\$|[0-9][0-9,.%-]*|[^\sA-Za-z0-9]"
 )
+_NUM_RE = re.compile(r"[0-9][0-9,.%-]*")
 
 # closed-class lexicon
 _LEX = {
@@ -101,14 +102,15 @@ def tokenize(sentence: str) -> list[str]:
 
 
 def _tag_word(w: str, prev_tag: str, is_first: bool) -> str:
-    lw = w.lower()
     if w in _PUNCT_TAGS:
         return _PUNCT_TAGS[w]
+    lw = w.lower()
     if lw in _LEX:
         return _LEX[lw]
-    if re.fullmatch(r"[0-9][0-9,.%-]*", w):
+    c0 = w[0]
+    if c0.isdigit() and _NUM_RE.fullmatch(w):
         return "CD"
-    if w[0].isupper() and not is_first:
+    if c0.isupper() and not is_first:
         return "NNP"
     if prev_tag == "TO" and lw in _COMMON_VB:
         return "VB"
@@ -129,7 +131,7 @@ def _tag_word(w: str, prev_tag: str, is_first: bool) -> str:
         return "NNS"
     if lw in _COMMON_VB and prev_tag in ("NN", "NNS", "NNP", "NNPS", "PRP", "WDT", "WP", "CD", "RB"):
         return "VBP"
-    if w[0].isupper() and is_first:
+    if c0.isupper() and is_first:
         return "NNP"
     if lw.endswith(("ous", "ful", "ive", "able", "ible", "al", "ic")):
         return "JJ"
