@@ -201,3 +201,17 @@ def test_similarity_lsh_subset_of_bruteforce(spark, synth_dir):
     # rank-1 of LSH must be the query itself (cosine 1 with itself)
     assert ls_rows[0]["vec_id"] == 0 or 0 in {r["vec_id"] for r in ls_rows}
     assert len(bf_ids) == 5
+
+
+def test_salted_join_matches_plain_join(spark):
+    from openie_backend_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", i) for i in range(5)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, tag string")
+    plain = left.join(right, "k", "left")
+    salted = salted_join(left, right, "k", buckets=8)
+    assert salted.count() == plain.count() == 205
+    assert {r["tag"] for r in salted.select("tag").distinct().collect()} == {"H", "C"}
