@@ -72,10 +72,20 @@ class QuerySpec:
         return pred
 
 
-def fetch_groups(groups: DataFrame, spec: QuerySpec) -> DataFrame:
-    """Biggest groups first under the result budget (T7/T8)."""
-    return (
+def fetch_groups(
+    groups: DataFrame, spec: QuerySpec, max_instances_per_group: int | None = None
+) -> DataFrame:
+    """Biggest groups first under the result budget (T7/T8). The
+    reference additionally budgets instances per result set
+    (``ParallelExtractionGroupFetcher.scala:73-77``); here a per-group
+    truncation keeps payloads bounded without a driver-side loop."""
+    out = (
         groups.filter(spec.predicate())
         .orderBy(F.desc("size"), *[F.asc(c) for c in ("arg1_norm", "rel_norm", "arg2_norm") if c in groups.columns])
         .limit(spec.max_groups)
     )
+    if max_instances_per_group is not None and "instances" in groups.columns:
+        out = out.withColumn(
+            "instances", F.slice("instances", 1, max_instances_per_group)
+        )
+    return out
