@@ -84,14 +84,26 @@ class Pipeline:
             writer = df.write.format(self.fmt).mode("overwrite").partitionBy("_bucket")
         writer.save(out)
         written = self.spark.read.format(self.fmt).load(out)
-        rows = written.count()
-        parts = written.rdd.getNumPartitions()
+        # per-partition lineage: row count per output partition (north
+        # rule: per-partition lineage + counters). One cheap pass over
+        # the materialized output; skew in these counts is the early
+        # warning for a hot key upstream.
+        per_part = [
+            (int(r["pid"]), int(r["cnt"]))
+            for r in written.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        ]
+        rows = sum(c for _, c in per_part)
+        parts = len(per_part) or written.rdd.getNumPartitions()
         dt = time.time() - t0
         self.manifest[name] = {
             "rows": rows,
             "partitions": parts,
             "seconds": round(dt, 2),
             "ts": time.time(),
+            "per_partition_rows": dict(per_part),
+            "max_partition_rows": max((c for _, c in per_part), default=0),
         }
         self._save_manifest()
         self.results.append(StageResult(name, rows, parts, dt, False))
