@@ -323,6 +323,16 @@ def _kg_spo(spark, sf):
     )
 
 
+def _kg_nary(spark, sf):
+    from openie_backend_spark.operators.nary import extract_nary
+
+    pages, _ = _synth(spark)
+    return extract_nary(pages).select(
+        "url", "sent_id", "kind", "arg1_norm", "rel_norm", "arg2_norm",
+        F.concat_ws(" | ", "arg2_texts").alias("arg2s"),
+    )
+
+
 def _mm_features(spark, sf):
     media = MM.synthetic_media(spark, 64)
     feats = MM.extract_features(media)
@@ -485,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_serving_query": _kg_serving_query,
         "kg_answer_projections": _kg_answer_projections,
         "kg_edges": _kg_edges,
+        "kg_nary": _kg_nary,
         "mm_features": _mm_features,
     }
 

@@ -1,0 +1,117 @@
+"""N-ary and noun-mediated extraction — the OpenIE-4 surface (M3).
+
+The reference's second extractor stack (``hadoop/.../ScoobiOpenIE4.
+scala:40-42,66-137``) runs SRL ("srlie") n-ary extraction plus the
+Relnoun noun-mediated extractor, tagging outputs ``T`` (triple) vs
+``N`` (n-ary) for the splitter (M4, ``ScoobiOpenIE4Splitter.scala:
+55-60``). Those are JVM libraries; this module reimplements the two
+extraction *shapes* on top of our chunk layers:
+
+* ``nary_extract``: a ReVerb binary extraction extended with trailing
+  prepositional attachments — "X acquired Y [in 2006] [for $1B]" →
+  arg2s = [Y, (in, 2006), (for, $1B)] (the NaryExtraction model,
+  ``models/.../NaryExtraction.scala:24-31``).
+* ``relnoun_extract``: noun-mediated relations from title/appositive
+  patterns — "Initech CEO Bob Smith said" and "Bob Smith , Initech 's
+  CEO , said" → (Bob Smith, be CEO of, Initech).
+
+Pure Python; wrapped by ``operators/nary.py``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from openie_backend_spark.nlp import reverb
+
+# relational/title nouns that mediate a relation between two NPs
+RELATIONAL_NOUNS = frozenset(
+    """ceo cfo coo cto chairman chairwoman president director founder
+    cofounder owner head chief manager editor author creator inventor
+    spokesman spokeswoman spokesperson capital subsidiary unit division
+    parent maker partner rival competitor supplier customer employee
+    lawyer attorney professor wife husband son daughter father mother
+    brother sister mayor governor senator minister king queen leader""".split()
+)
+
+
+class NaryExtraction(NamedTuple):
+    arg1: tuple[int, int]
+    rel: tuple[int, int]
+    arg2s: list[tuple[int, int]]   # first = core arg2, rest = PP attachments
+
+
+class RelnounExtraction(NamedTuple):
+    arg1: tuple[int, int]          # the entity holding the role
+    rel_text: str                  # synthesized: "be <noun> of"
+    arg2: tuple[int, int]          # the anchor entity
+
+
+def nary_extract(tokens, pos, chunks) -> list[NaryExtraction]:
+    """Binary extractions + trailing (P NP)* attachments."""
+    out = []
+    n = len(tokens)
+    for e in reverb.extract(tokens, pos, chunks):
+        arg2s = [e.arg2]
+        i = e.arg2[1]
+        while i < n and pos[i] in ("IN", "TO") and tokens[i].lower() not in reverb.SUBORDINATORS:
+            j = i + 1
+            if j < n and chunks[j] in ("B-NP", "I-NP"):
+                k = j + 1
+                while k < n and chunks[k] == "I-NP":
+                    k += 1
+                arg2s.append((i, k))  # attachment includes its preposition
+                i = k
+            else:
+                break
+        out.append(NaryExtraction(e.arg1, e.rel, arg2s))
+    return out
+
+
+def _np_spans(chunks):
+    return reverb.noun_phrases(chunks)
+
+
+def relnoun_extract(tokens, pos, chunks) -> list[RelnounExtraction]:
+    """Noun-mediated relations.
+
+    Pattern A (title):       [Org NNP+] [role-noun] [Person NNP+]
+                             within one NP chunk: "Initech CEO Bob Smith"
+    Pattern B (possessive):  [Org] 's [role-noun] , [Person] ,
+    Pattern C (appositive):  [Person] , [Org] ('s)? [role-noun] , ...
+    """
+    out = []
+    nps = _np_spans(chunks)
+    n = len(tokens)
+    for s, e in nps:
+        # pattern A: inside a single NP — NNP+ role NNP+
+        for m in range(s + 1, e - 1):
+            if tokens[m].lower() in RELATIONAL_NOUNS and pos[m].startswith("NN"):
+                left_ok = all(pos[k] == "NNP" for k in range(s, m))
+                right_ok = all(pos[k] == "NNP" for k in range(m + 1, e))
+                if left_ok and right_ok and m > s and m + 1 < e:
+                    out.append(
+                        RelnounExtraction(
+                            (m + 1, e), f"be {tokens[m].lower()} of", (s, m)
+                        )
+                    )
+    # pattern B: [NP1] 's [role] (,)? [NP2] — the possessor NP and the
+    # role noun usually share one chunk ("Hooli 's founder")
+    for i in range(n - 2):
+        if tokens[i] == "'s" and pos[i] == "POS":
+            if i + 1 < n and tokens[i + 1].lower() in RELATIONAL_NOUNS:
+                holder = next(((s, e) for s, e in nps if s <= i < e or e == i), None)
+                if holder is None or holder[0] >= i:
+                    continue
+                left = (holder[0], i)
+                j = i + 2
+                if j < n and tokens[j] == ",":
+                    j += 1
+                right = next(((s, e) for s, e in nps if s == j), None)
+                if right:
+                    out.append(
+                        RelnounExtraction(
+                            right, f"be {tokens[i + 1].lower()} of", left
+                        )
+                    )
+    return out

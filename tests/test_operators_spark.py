@@ -215,3 +215,21 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(left, right, "k", buckets=8)
     assert salted.count() == plain.count() == 205
     assert {r["tag"] for r in salted.select("tag").distinct().collect()} == {"H", "C"}
+
+
+def test_nary_and_relnoun(spark):
+    from openie_backend_spark.operators.nary import extract_nary, split_streams
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "Acme Corp acquired Globex Inc. in 2006 for $ 1.65 billion .", "en"),
+            ("u2", "Initech CEO Grace Hopper said it will merge with Hooli .", "en"),
+        ],
+        "url string, text string, lang string",
+    )
+    ex = extract_nary(pages)
+    triples, nouns = split_streams(ex)
+    t = triples.filter(F.col("rel_text") == "acquired").first()
+    assert t["arg2_texts"] == ["Globex Inc.", "in 2006", "for $ 1.65 billion"]
+    n = nouns.first()
+    assert n["rel_text"] == "be ceo of" and n["arg1_text"] == "Grace Hopper"
