@@ -263,6 +263,11 @@ def _dedup_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
 
 
+def _dedup_clusters(spark, sf):
+    pairs = D.minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+    return D.dup_clusters(pairs)
+
+
 def _dedup_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), bits=16)
 
@@ -480,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
         "ann_bruteforce": _ann_bruteforce,
@@ -703,6 +709,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+            WITH sigs AS (
+                SELECT doc_id, {_SHINGLES3}[1:512] AS sh FROM documents
+            ), mh AS (
+                SELECT doc_id,
+                       [list_min(list_transform(sh, g -> md5(CAST(j AS VARCHAR) || ':' || g)) )
+                        FOR j IN [0,1,2,3,4,5,6,7]] AS sig
+                FROM sigs WHERE len(sh) > 0
+            ), bands AS (
+                SELECT doc_id, b AS band_idx,
+                       md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+                FROM mh, (SELECT unnest([0,1,2,3]) AS b)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "dedup_simhash": (
             "WITH w AS ("
