@@ -98,11 +98,15 @@ for _ in range(5):
 kg_sec = min(kg_secs)
 kg_small_sec = min(kg_small_secs)
 marg_rate = (base_docs * (mult - mult_small)) / max(kg_sec - kg_small_sec, 0.001)
-mh_secs = []
-pairs = 0
-for _ in range(2):
-    t0 = time.time(); pairs = mh(); mh_secs.append(time.time() - t0)
-mh_sec = min(mh_secs)
+import os as _os
+if _os.environ.get("SKIP_MH"):
+    mh_sec, pairs = 1e9, -1
+else:
+    mh_secs = []
+    pairs = 0
+    for _ in range(2):
+        t0 = time.time(); pairs = mh(); mh_secs.append(time.time() - t0)
+    mh_sec = min(mh_secs)
 print(json.dumps({
     "cpus": cpus, "docs": n_docs, "kg_sec": round(kg_sec, 2), "kg_secs_all": [round(x,1) for x in kg_secs],
     "mh_sec": round(mh_sec, 2), "triples": triples, "pairs": pairs,
@@ -137,7 +141,11 @@ def main():
 
     kg_eff = hi["kg_docs_per_sec"] / (4 * lo["kg_docs_per_sec"])
     kg_marg_eff = hi["kg_marginal_docs_per_sec"] / (4 * lo["kg_marginal_docs_per_sec"])
-    mh_eff = hi["mh_docs_per_sec"] / (4 * lo["mh_docs_per_sec"])
+    mh_eff = (
+        hi["mh_docs_per_sec"] / (4 * lo["mh_docs_per_sec"])
+        if lo["mh_docs_per_sec"] > 0
+        else 0.0
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ledger = os.path.join(REPO, "BENCH", "runs.jsonl")
