@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    extractions = extract_pages(pages)
+    extractions = extract_pages(pages, include_layers=False)
     groups = group_extractions(instance_quality_filter(extractions, min_conf=0.0))
     return spo_table(groups).select(
         "subject_id", "subject", "predicate", "object_id", "object", "group_size"
@@ -232,6 +232,11 @@ def _w_t1_events_top2(spark, sf):
 def _txt_token_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+def _txt_bpe_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.bpe_token_count("text").alias("n_bpe"))
 
 
 def _txt_lang_id(spark, sf):
@@ -479,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conjunctive_topk": _q_conjunctive_topk,
         "w_t1_events_top2": _w_t1_events_top2,
         "txt_token_count": _txt_token_count,
+        "txt_bpe_count": _txt_bpe_count,
         "txt_lang_id": _txt_lang_id,
         "txt_quality": _txt_quality,
         "txt_fingerprint": _txt_fingerprint,
@@ -639,6 +645,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len({wsplit}) END AS n_tokens
+            FROM documents
+        """,
+        "txt_bpe_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)')) AS n_bpe
             FROM documents
         """,
         "txt_lang_id": f"""
