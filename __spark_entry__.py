@@ -36,7 +36,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # redistribute small inputs. At production scale inputs arrive in
     # many files/row-groups and this branch never triggers.
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
@@ -530,6 +530,40 @@ _SHINGLES5 = (
     ")))"
 ).format(ws=_WS)
 
+# Banded-LSH candidate pairs with the star-cap (mirror of
+# operators/dedup.minhash_lsh_pairs with max_full_bucket=64): buckets
+# over the cap emit representative→member star pairs, not all pairs.
+_MINHASH_PAIRS_SQL = f"""
+            WITH sigs AS (
+                SELECT doc_id, {_SHINGLES3}[1:512] AS sh FROM documents
+            ), mh AS (
+                SELECT doc_id,
+                       [list_min(list_transform(sh, g -> md5(CAST(j AS VARCHAR) || ':' || g)) )
+                        FOR j IN [0,1,2,3,4,5,6,7]] AS sig
+                FROM sigs WHERE len(sh) > 0
+            ), bands AS (
+                SELECT doc_id, b AS band_idx,
+                       md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+                FROM mh, (SELECT unnest([0,1,2,3]) AS b)
+            ), bsize AS (
+                SELECT band_idx, band_key, count(*) AS n, min(doc_id) AS rep
+                FROM bands GROUP BY 1, 2
+            ), allp AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id
+                JOIN bsize s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+                WHERE s.n <= 64
+                UNION
+                SELECT s.rep AS doc_a, x.doc_id AS doc_b
+                FROM bands x
+                JOIN bsize s ON s.band_idx = x.band_idx AND s.band_key = x.band_key
+                WHERE s.n > 64 AND x.doc_id <> s.rep
+            )
+            SELECT DISTINCT doc_a, doc_b FROM allp
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     stop_en = "('the','a','of','and','to','in','is','that','for','it')"
@@ -596,7 +630,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base FULL OUTER JOIN updates USING (o_orderkey)
         """,
         "f2_doc_filters": """
-            SELECT lang, count(*) AS cnt, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
             WHERE n_chars BETWEEN 100 AND 450
               AND NOT regexp_matches(text, '.*(http|\\().*')
@@ -619,7 +653,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'XX', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), size FROM g
             )
-            SELECT mask, a1, a2, sum(size) AS total FROM proj GROUP BY 1, 2, 3
+            SELECT mask, a1, a2, CAST(sum(size) AS BIGINT) AS total FROM proj GROUP BY 1, 2, 3
         """,
         "set_union_distinct": """
             SELECT c_nationkey, count(*) AS cnt FROM (
@@ -647,7 +681,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len({wsplit}) END AS n_tokens
             FROM documents
         """,
-        "txt_bpe_count": """
+        "txt_bpe_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)')) AS n_bpe
             FROM documents
@@ -686,24 +720,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY 1
         """,
-        "dedup_minhash_lsh": f"""
-            WITH sigs AS (
-                SELECT doc_id, {_SHINGLES3}[1:512] AS sh FROM documents
-            ), mh AS (
-                SELECT doc_id,
-                       [list_min(list_transform(sh, g -> md5(CAST(j AS VARCHAR) || ':' || g)) )
-                        FOR j IN [0,1,2,3,4,5,6,7]] AS sig
-                FROM sigs WHERE len(sh) > 0
-            ), bands AS (
-                SELECT doc_id, b AS band_idx,
-                       md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
-                FROM mh, (SELECT unnest([0,1,2,3]) AS b)
-            )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        """,
+        "dedup_minhash_lsh": _MINHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id, unnest({_SHINGLES3}[1:512]) AS shingle FROM documents
@@ -723,22 +740,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
-            WITH sigs AS (
-                SELECT doc_id, {_SHINGLES3}[1:512] AS sh FROM documents
-            ), mh AS (
-                SELECT doc_id,
-                       [list_min(list_transform(sh, g -> md5(CAST(j AS VARCHAR) || ':' || g)) )
-                        FOR j IN [0,1,2,3,4,5,6,7]] AS sig
-                FROM sigs WHERE len(sh) > 0
-            ), bands AS (
-                SELECT doc_id, b AS band_idx,
-                       md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
-                FROM mh, (SELECT unnest([0,1,2,3]) AS b)
-            )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
+            {_MINHASH_PAIRS_SQL}
         ),
             sym AS (
                 SELECT doc_a AS a, doc_b AS b FROM pairs

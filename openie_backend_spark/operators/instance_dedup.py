@@ -34,12 +34,16 @@ def _dedup_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
         conf = row["confidence"] or 0.0
         if (row.get("corpus") or "") == "wiki":
             conf += WIKI_BOOST
-        return -conf
+        # total order: equal-confidence instances must not depend on
+        # partition-arrival order (determinism north rule) — break ties
+        # on (url, sent_id, arg1_start) like group.py's cap window does
+        return (-conf, row.get("url") or "", row.get("sent_id") or 0,
+                row.get("arg1_start") or 0)
 
     rows = sorted(pdf.to_dict("records"), key=sort_key)
     seen_sentences: set[str] = set()
     seen_counts: dict[tuple[str, int], int] = {}
-    kept_idx = []
+    kept = []
     for row in rows:
         raw_tokens = row.get("tokens")
         tokens = [] if raw_tokens is None else list(raw_tokens)
@@ -67,15 +71,16 @@ def _dedup_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
             seen_counts[k] = seen_counts.get(k, 0) + 1
         if sent:
             seen_sentences.add(sent)
-        kept_idx.append(row["_row_id"])
-    return pdf[pdf["_row_id"].isin(kept_idx)].drop(columns=["_row_id"])
+        kept.append(row)
+    if not kept:
+        return pdf.iloc[0:0]
+    return pd.DataFrame(kept, columns=list(pdf.columns))
 
 
 def dedup_instances(extractions: DataFrame) -> DataFrame:
     """Deduplicate extraction rows within each group key."""
-    with_id = extractions.withColumn("_row_id", F.monotonically_increasing_id())
     schema = extractions.schema
-    return with_id.groupBy(*GROUP_KEY).applyInPandas(
+    return extractions.groupBy(*GROUP_KEY).applyInPandas(
         lambda pdf: _dedup_one_group(pdf), schema=schema
     )
 
@@ -84,14 +89,11 @@ def dedup_grouped(groups: DataFrame) -> DataFrame:
     """Same semantics applied to already-grouped REGs: explode the
     instances array, dedup, regroup (used on the serving path,
     ``ParallelExtractionGroupFetcher.scala:174-179``)."""
-    exploded = groups.select(*GROUP_KEY, F.posexplode("instances").alias("_i", "instance"))
-    flat = exploded.select(*GROUP_KEY, "_i", F.col("instance.*"))
-    schema = flat.drop("_i").schema
-    deduped = (
-        flat.withColumn("_row_id", F.monotonically_increasing_id())
-        .drop("_i")
-        .groupBy(*GROUP_KEY)
-        .applyInPandas(lambda pdf: _dedup_one_group(pdf), schema=schema)
+    exploded = groups.select(*GROUP_KEY, F.explode("instances").alias("instance"))
+    flat = exploded.select(*GROUP_KEY, F.col("instance.*"))
+    schema = flat.schema
+    deduped = flat.groupBy(*GROUP_KEY).applyInPandas(
+        lambda pdf: _dedup_one_group(pdf), schema=schema
     )
     inst_cols = [c for c in deduped.columns if c not in GROUP_KEY]
     return (

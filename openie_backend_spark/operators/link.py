@@ -163,7 +163,11 @@ def _link_side(
                     (F.lit(1.0) / F.col("inlinks")).alias("inlink_ratio"),
                     F.col("types"),
                 ),
-                F.struct((-F.col("shrink_idx")).alias("a"), F.col("_score").alias("b")),
+                # fbid as the final component makes exact-tie selection
+                # deterministic (two candidates with equal suffix length
+                # and equal score resolve by fbid, not arrival order)
+                F.struct((-F.col("shrink_idx")).alias("a"), F.col("_score").alias("b"),
+                         F.col("fbid").alias("c")),
             ).alias("_best")
         )
         .select(

@@ -37,6 +37,8 @@ def entity_merge_regroup(groups: DataFrame) -> DataFrame:
             F.struct(
                 F.col("arg1_entity").isNotNull().cast("int").alias("linked"),
                 F.col("size").alias("sz"),
+                # deterministic representative on (linked, size) ties
+                F.col("arg1_norm").alias("t1"), F.col("arg2_norm").alias("t2"),
             ),
         ).alias("_rep"),
         F.count(F.lit(1)).alias("merged_groups"),
