@@ -265,7 +265,10 @@ def _dedup_minhash_lsh(spark, sf):
 
 
 def _dedup_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+    # scale path: exact Jaccard verified only over LSH candidate pairs
+    docs = _t(spark, sf, "documents")
+    cands = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return D.ngram_jaccard_pairs(docs, threshold=0.8, candidates=cands)
 
 
 def _dedup_clusters(spark, sf):
@@ -449,6 +452,16 @@ def _kg_serving_query(spark, sf):
     )
 
 
+def _kg_serving_query_or(spark, sf):
+    from openie_backend_spark.operators.query import QuerySpec, fetch_groups
+
+    linked, _ = _synth_linked(spark)
+    spec = QuerySpec(rel="acquired", arg1="Acme Corp", conjunction=False)
+    return fetch_groups(linked, spec).select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size"
+    )
+
+
 def _kg_answer_projections(spark, sf):
     from openie_backend_spark.operators.materialize import answer_projections
 
@@ -505,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inlink_ratio": _kg_inlink_ratio,
         "kg_instance_dedup": _kg_instance_dedup,
         "kg_serving_query": _kg_serving_query,
+        "kg_serving_query_or": _kg_serving_query_or,
         "kg_answer_projections": _kg_answer_projections,
         "kg_edges": _kg_edges,
         "kg_nary": _kg_nary,
@@ -565,14 +579,60 @@ _MINHASH_PAIRS_SQL = f"""
 """
 
 
+def _embedding_neardup_sql(threshold: float, n_planes: int = 16, bands: int = 2) -> str:
+    """Mirror of operators/dedup.embedding_neardup_pairs: the same
+    seeded hyperplanes (similarity._hyperplanes), banded sign blocking,
+    exact cosine on candidates."""
+    from openie_backend_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, 7)
+    rpb = n_planes // bands
+    bitexpr = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(repr(w) for w in plane)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    band_list = ",".join(str(b) for b in range(bands))
+    return f"""
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), bb AS (
+            SELECT vec_id, v, nrm, ({bitexpr}) AS bits FROM b WHERE nrm > 0
+        ), banded AS (
+            SELECT vec_id, band_idx,
+                   substr(bits, band_idx * {rpb} + 1, {rpb}) AS band_key
+            FROM bb, (SELECT unnest([{band_list}]) AS band_idx)
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
+        FROM cand c JOIN bb x ON x.vec_id = c.vec_a JOIN bb y ON y.vec_id = c.vec_b
+        WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    # KG-pipeline oracles: DuckDB SQL over single-process mirror parquet
+    # (see openie_backend_spark/kg_oracles.py). Built first so a mirror
+    # failure surfaces immediately; the driver compares at sf0.01.
+    from openie_backend_spark import kg_oracles
+
+    kg = kg_oracles.build(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
     stop_en = "('the','a','of','and','to','in','is','that','for','it')"
     stop_de = "('der','die','das','und','ist','nicht','ein','zu','mit','von')"
     stop_fr = "('le','la','les','et','est','un','une','pour','dans','que')"
     stop_es = "('el','la','los','y','es','un','una','para','en','que')"
     wsplit = f"regexp_split_to_array(trim(lower(text)), {_WS})"
 
-    return {
+    return kg | {
         "g1_group_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -722,21 +782,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _MINHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": f"""
-            WITH sh AS (
-                SELECT doc_id, unnest({_SHINGLES3}[1:512]) AS shingle FROM documents
-            ), sizes AS (
-                SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-            ), inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
+            WITH cand AS ( {_MINHASH_PAIRS_SQL} ),
+            sh AS (SELECT doc_id, {_SHINGLES3}[1:512] AS sh FROM documents),
+            j AS (
+                SELECT c.doc_a, c.doc_b,
+                       round(len(list_intersect(a.sh, b.sh)) /
+                             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                             4) AS jaccard
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc_a
+                JOIN sh b ON b.doc_id = c.doc_b
             )
-            SELECT doc_a, doc_b,
-                   round(i / (sa.n + sb.n - i), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
@@ -769,22 +826,7 @@ def oracle_sql() -> dict[str, str]:
             + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
             + " AS BIGINT) AS simhash FROM v"
         ),
-        "dedup_embedding": """
-            WITH b AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
-                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-                FROM embeddings
-            )
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE a.nrm > 0 AND b.nrm > 0
-              AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.3
-        """,
+        "dedup_embedding": _embedding_neardup_sql(threshold=0.3),
         "ann_lsh": """
             WITH c AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -1,0 +1,376 @@
+"""DuckDB oracle SQL for the KG pipeline queries (the hard correctness
+gate on the real operator chain — VERDICT r1 next-round #1).
+
+Each oracle is ANSI/DuckDB SQL over the mirror parquet files written by
+``mirror.ensure`` (single-process runs of the Python-NLP stages) plus
+the synthetic linker dims. The SQL re-expresses, independently of the
+Spark operator code:
+
+* grouping — F2 instance filter + instance-set dedup + size
+  (``ScoobiReVerbGroupFilter.scala:77-127``,
+  ``ScoobiReVerbGrouper.scala:113-130``);
+* linking — head-suffix shrink, CrossWikis prior cutoffs, context
+  cosine, argmax (``HeadPhraseFinder.scala:8-62``,
+  ``CrosswikisCandidateFinder.java:26-71``,
+  ``EntityLinker.scala:147-149``);
+* the unlinkable-entity typer chain G6-G9
+  (``UnlinkableEntityTyper.scala:100-243``);
+* regroup/inlink-ratio/projections/edges/serving
+  (``ReVerbExtractionGroup.scala:103-168``,
+  ``ScoobiInlinkRatioComputer.scala:40-75``,
+  ``ScoobiGroupToAnswer.scala:26-43``, ``QuerySpec.scala:81-134``).
+
+A hash mismatch on any of these queries means the distributed plan
+(shuffles, window caps, broadcast joins, Arrow batching) diverged from
+the declarative semantics.
+"""
+
+from __future__ import annotations
+
+from openie_backend_spark import mirror
+
+_NEG = "('no','not','none','n''t','never')"
+_PRON = (
+    "('he','she','it','they','them','him','her','i','you','we','us','me',"
+    "'this','that','these','those')"
+)
+_TRIPLE = "arg1_text || ' ' || rel_text || ' ' || arg2_text"
+
+# F2 instance quality filter at min_conf=0 (mirror of
+# operators/filters.instance_quality_filter)
+_F2 = f"""
+        len(list_filter(regexp_split_to_array(lower(rel_text), ' '),
+                        w -> w IN {_NEG})) = 0
+    AND len(list_filter(regexp_split_to_array(lower(arg2_text), ' '),
+                        w -> w IN {_NEG})) = 0
+    AND length(arg1_text) + length(rel_text) + length(arg2_text) <= 60
+    AND lower(arg1_text) NOT IN {_PRON}
+    AND lower(arg2_text) NOT IN {_PRON}
+    AND length(trim(arg1_norm)) > 0
+    AND length(trim(rel_norm)) > 0
+    AND length(trim(arg2_norm)) > 0
+    AND arg1_norm <> arg2_norm
+    AND (length({_TRIPLE})
+         - length(regexp_replace({_TRIPLE}, '[^A-Za-z0-9 .,''-]', '', 'g'))) < 5
+    AND NOT regexp_matches(lower({_TRIPLE}), '(http|\\(|\\)|"|\\[|thing)')
+"""
+
+_INST_SLIM = (
+    "url, sent_id, arg1_start, arg1_end, rel_start, rel_end, "
+    "arg2_start, arg2_end, arg1_text, rel_text, arg2_text, confidence"
+)
+
+_TOTAL_ORDER = (
+    "confidence DESC, url, sent_id, arg1_start, arg1_end, "
+    "rel_start, rel_end, arg2_start, arg2_end"
+)
+
+
+def _groups_ctes(ext_path: str, with_heads: bool) -> str:
+    """flt → ded (instance-set dedup) → grp (+ top, the cap-window
+    leader carrying heads and the context token bag)."""
+    inst = _INST_SLIM + (", tokens, arg1_head, arg2_head" if with_heads else "")
+    top = ""
+    if with_heads:
+        top = f""",
+    top AS (
+        SELECT arg1_norm, rel_norm, arg2_norm, arg1_head, arg2_head,
+               list_transform(tokens, t -> lower(t)) AS ctx
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY arg1_norm, rel_norm, arg2_norm
+                ORDER BY {_TOTAL_ORDER}) AS rn
+            FROM ded
+        ) WHERE rn = 1
+    )"""
+    return f"""
+    flt AS (SELECT * FROM read_parquet('{ext_path}') WHERE {_F2}),
+    ded AS (SELECT DISTINCT arg1_norm, rel_norm, arg2_norm, {inst} FROM flt),
+    grp AS (SELECT arg1_norm, rel_norm, arg2_norm, count(*) AS size
+            FROM ded GROUP BY 1, 2, 3){top}"""
+
+
+def _cand_ctes(dims: str) -> str:
+    """Denormalized candidate dim + context totals (mirror of
+    link._prepare_dims, high-precision cutoffs cprob≥0.5, count≥500)."""
+    return f"""
+    cand AS (
+        SELECT a.anchor_lnrm, t.title, t.fbid, a.cprob,
+               coalesce(i.inlinks, 2) AS inlinks,
+               coalesce(ty.types, CAST([] AS VARCHAR[])) AS types
+        FROM read_parquet('{dims}/dim_anchor_prior.parquet') a
+        JOIN read_parquet('{dims}/dim_title_fbid.parquet') t
+          ON a.entity_title = t.title
+        LEFT JOIN read_parquet('{dims}/dim_fbid_title_inlinks.parquet') i
+          ON i.fbid = t.fbid
+        LEFT JOIN read_parquet('{dims}/dim_fbid_types.parquet') ty
+          ON ty.fbid = t.fbid
+        WHERE a.cprob >= 0.5 AND a."count" >= 500
+    ),
+    ctxt AS (
+        SELECT fbid, sum(weight) AS ctx_total
+        FROM read_parquet('{dims}/dim_context_terms.parquet') GROUP BY 1
+    )"""
+
+
+def _link_side_ctes(side: str, dims: str) -> str:
+    """Suffix-shrink candidates, context-cosine score, argmax
+    (shrink ASC, score DESC, fbid DESC — matches the max_by struct)."""
+    return f"""
+    sfx_{side} AS (
+        SELECT arg1_norm, rel_norm, arg2_norm, ctx, words,
+               unnest(range(0, len(words))) AS shrink_idx
+        FROM (SELECT *, regexp_split_to_array({side}_head, ' ') AS words FROM top)
+    ),
+    sc_{side} AS (
+        SELECT s.arg1_norm, s.rel_norm, s.arg2_norm, s.shrink_idx,
+               c.title, c.fbid, c.types, c.inlinks, c.cprob,
+               coalesce((SELECT sum(w.weight)
+                         FROM read_parquet('{dims}/dim_context_terms.parquet') w
+                         WHERE w.fbid = c.fbid AND list_contains(s.ctx, w.term)),
+                        0.0) AS matched,
+               coalesce(ct.ctx_total, 0.0) AS ctx_total
+        FROM (SELECT *, regexp_replace(
+                  lower(array_to_string(words[shrink_idx+1:], ' ')),
+                  '[^a-z0-9]', '', 'g') AS anchor_lnrm
+              FROM sfx_{side}) s
+        JOIN cand c USING (anchor_lnrm)
+        LEFT JOIN ctxt ct ON ct.fbid = c.fbid
+    ),
+    best_{side} AS (
+        SELECT arg1_norm, rel_norm, arg2_norm, fbid, title, types FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY arg1_norm, rel_norm, arg2_norm
+                ORDER BY shrink_idx ASC, score DESC, fbid DESC) AS rnk
+            FROM (SELECT *, round(cprob * ln(inlinks) *
+                        CASE WHEN ctx_total > 0 THEN matched / ctx_total
+                             ELSE 0.0 END, 3) AS score
+                  FROM sc_{side})
+        ) WHERE rnk = 1
+    )"""
+
+
+def _linked_sql(ext_synth: str, dims: str) -> str:
+    """All CTEs up to ``linked`` (one row per group with both sides'
+    best entity + types), over the synth corpus."""
+    return f"""WITH {_groups_ctes(ext_synth, with_heads=True)},
+    {_cand_ctes(dims)},
+    {_link_side_ctes('arg1', dims)},
+    {_link_side_ctes('arg2', dims)},
+    linked AS (
+        SELECT g.arg1_norm, g.rel_norm, g.arg2_norm, g.size,
+               b1.fbid AS arg1_fbid,
+               coalesce(b1.types, CAST([] AS VARCHAR[])) AS arg1_types,
+               b2.fbid AS arg2_fbid,
+               coalesce(b2.types, CAST([] AS VARCHAR[])) AS arg2_types
+        FROM grp g
+        LEFT JOIN best_arg1 b1 USING (arg1_norm, rel_norm, arg2_norm)
+        LEFT JOIN best_arg2 b2 USING (arg1_norm, rel_norm, arg2_norm)
+    )"""
+
+
+def _typed_sql(ext_synth: str, dims: str) -> str:
+    """G6→G9 over ``linked`` with arg1='acme corp' force-unlinked
+    (mirror of the kg_typed query; min_rel_weight=0.05, min_share=2)."""
+    stop = f"(SELECT fbid FROM read_parquet('{dims}/dim_entity_stoplist.parquet'))"
+    return f"""{_linked_sql(ext_synth, dims)},
+    lk2 AS (
+        SELECT arg1_norm, rel_norm, arg2_norm, size,
+               CASE WHEN arg1_norm = 'acme corp' THEN NULL
+                    ELSE arg1_fbid END AS fbid1,
+               CASE WHEN arg1_norm = 'acme corp' THEN CAST([] AS VARCHAR[])
+                    ELSE arg1_types END AS types1
+        FROM linked
+    ),
+    ents AS (
+        SELECT DISTINCT rel_norm, fbid1 AS fbid,
+               list_sort(list_distinct(types1)) AS types,
+               md5(rel_norm || '|' || fbid1) AS ord
+        FROM lk2
+        WHERE fbid1 IS NOT NULL AND len(types1) > 0
+          AND fbid1 NOT IN {stop}
+    ),
+    samp AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY rel_norm ORDER BY ord) AS rn
+            FROM ents WHERE length(rel_norm) > 3 AND length(rel_norm) <= 100
+        ) WHERE rn <= 150
+    ),
+    nper AS (SELECT rel_norm, count(*) AS n FROM samp GROUP BY 1),
+    shr AS (
+        SELECT a.rel_norm, count(*) AS shared
+        FROM samp a JOIN samp b ON a.rel_norm = b.rel_norm AND a.rn < b.rn
+        WHERE len(list_intersect(a.types, b.types)) > 0
+        GROUP BY 1
+    ),
+    relinfo AS (
+        SELECT rel_norm, round(w, 6) AS weight FROM (
+            SELECT n.rel_norm,
+                   coalesce(s.shared, 0) / (n.n * (n.n - 1) / 2.0) AS w
+            FROM nper n LEFT JOIN shr s USING (rel_norm) WHERE n.n > 1
+        ) WHERE w >= 0.05
+    ),
+    args AS (
+        SELECT rel_norm, arg_norm FROM (
+            SELECT rel_norm, arg_norm,
+                   row_number() OVER (PARTITION BY rel_norm ORDER BY arg_norm) AS rn
+            FROM (SELECT DISTINCT rel_norm, arg1_norm AS arg_norm FROM lk2
+                  WHERE length(arg1_norm) >= 4
+                    AND NOT regexp_matches(arg1_norm, '[0-9][0-9][0-9]+')
+                    AND len(list_filter(regexp_split_to_array(arg1_norm, ' '),
+                        w -> w IN ('all','any','five','four','one','some','three','two'))) = 0)
+        ) WHERE rn <= 1000
+    ),
+    contrib AS (
+        SELECT a.arg_norm, s.fbid, min(s.types) AS types,
+               sum(pow(10, 4 * r.weight)) AS w
+        FROM args a JOIN relinfo r USING (rel_norm) JOIN samp s USING (rel_norm)
+        GROUP BY 1, 2
+    ),
+    top15 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY arg_norm
+                ORDER BY w DESC, fbid ASC) AS rk FROM contrib
+        ) WHERE rk <= 15
+    ),
+    tc AS (
+        SELECT arg_norm, t.typ, count(*) AS c
+        FROM top15, unnest(top15.types) AS t(typ)
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT arg_norm, list(typ ORDER BY pr) AS ptypes FROM (
+            SELECT arg_norm, typ,
+                   row_number() OVER (PARTITION BY arg_norm
+                       ORDER BY c DESC, typ ASC) AS pr
+            FROM tc WHERE c >= 2
+        ) WHERE pr <= 5 GROUP BY 1
+    )"""
+
+
+def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Materialize mirror inputs and return the kg_* oracle dict."""
+    from openie_backend_spark.operators.query import normalize_query_text
+
+    p = mirror.ensure(sf_dir)
+    dims = p["synth_dir"]
+    ext_docs, ext_synth = p["ext_docs"], p["ext_synth"]
+
+    node1 = "'n:' || substr(sha256(arg1_norm), 1, 16)"
+    node2 = "'n:' || substr(sha256(arg2_norm), 1, 16)"
+    rel_q = normalize_query_text("acquired")
+    arg1_q = normalize_query_text("Acme Corp")
+
+    return {
+        "kg_extractions": f"""
+            SELECT url, sent_id, arg1_text, rel_text, arg2_text,
+                   arg1_norm, rel_norm, arg2_norm, confidence
+            FROM read_parquet('{ext_docs}')
+        """,
+        "kg_groups": f"""
+            WITH {_groups_ctes(ext_docs, with_heads=False)}
+            SELECT arg1_norm, rel_norm, arg2_norm, size FROM grp
+        """,
+        "kg_spo": f"""
+            WITH {_groups_ctes(ext_docs, with_heads=False)}
+            SELECT {node1} AS subject_id, arg1_norm AS subject,
+                   rel_norm AS predicate,
+                   {node2} AS object_id, arg2_norm AS object,
+                   size AS group_size
+            FROM grp
+        """,
+        "kg_linked": f"""
+            {_linked_sql(ext_synth, dims)}
+            SELECT arg1_norm, rel_norm, arg2_norm, size,
+                   arg1_fbid, arg2_fbid,
+                   coalesce(array_to_string(arg1_types, ','), '') AS arg1_types_csv
+            FROM linked
+        """,
+        "kg_typed": f"""
+            {_typed_sql(ext_synth, dims)}
+            SELECT l.arg1_norm, l.rel_norm, l.arg2_norm,
+                   coalesce(array_to_string(
+                       CASE WHEN len(l.types1) = 0 AND p.ptypes IS NOT NULL
+                            THEN p.ptypes ELSE l.types1 END, ','), '') AS arg1_types_csv
+            FROM lk2 l LEFT JOIN pred p ON p.arg_norm = l.arg1_norm
+        """,
+        "kg_regroup_entity": f"""
+            {_linked_sql(ext_synth, dims)},
+            keyed AS (
+                SELECT *, coalesce(arg1_fbid, arg1_norm) AS k1,
+                          coalesce(arg2_fbid, arg2_norm) AS k2
+                FROM linked
+            ),
+            agg AS (
+                SELECT k1, rel_norm, k2, CAST(sum(size) AS BIGINT) AS size,
+                       count(*) AS merged_groups
+                FROM keyed GROUP BY 1, 2, 3
+            ),
+            rep AS (
+                SELECT * FROM (
+                    SELECT k1, rel_norm, k2, arg1_norm, arg2_norm,
+                           row_number() OVER (PARTITION BY k1, rel_norm, k2
+                               ORDER BY (arg1_fbid IS NOT NULL) DESC, size DESC,
+                                        arg1_norm DESC, arg2_norm DESC) AS rr
+                    FROM keyed
+                ) WHERE rr = 1
+            )
+            SELECT r.arg1_norm, r.rel_norm, r.arg2_norm, a.size, a.merged_groups
+            FROM rep r JOIN agg a
+              ON a.k1 = r.k1 AND a.rel_norm = r.rel_norm AND a.k2 = r.k2
+        """,
+        "kg_inlink_ratio": f"""
+            {_linked_sql(ext_synth, dims)},
+            cnt AS (
+                SELECT arg1_fbid AS fbid, count(*) AS group_count
+                FROM linked WHERE arg1_fbid IS NOT NULL GROUP BY 1
+            )
+            SELECT c.fbid, c.group_count, i.inlinks,
+                   round(c.group_count / greatest(i.inlinks, 1), 6) AS ratio
+            FROM cnt c
+            LEFT JOIN read_parquet('{dims}/dim_fbid_title_inlinks.parquet') i
+              USING (fbid)
+        """,
+        "kg_serving_query": f"""
+            {_linked_sql(ext_synth, dims)}
+            SELECT arg1_norm, rel_norm, arg2_norm, size FROM linked
+            WHERE rel_norm = '{rel_q}'
+        """,
+        "kg_serving_query_or": f"""
+            {_linked_sql(ext_synth, dims)}
+            SELECT arg1_norm, rel_norm, arg2_norm, size FROM linked
+            WHERE rel_norm = '{rel_q}' OR arg1_norm = '{arg1_q}'
+        """,
+        "kg_answer_projections": f"""
+            {_linked_sql(ext_synth, dims)}
+            SELECT m.mask, count(*) AS cnt, CAST(sum(g.size) AS BIGINT) AS total_size
+            FROM linked g,
+                 (SELECT unnest(['X__','_X_','__X','XX_','X_X','_XX']) AS mask) m
+            GROUP BY 1
+        """,
+        "kg_edges": f"""
+            {_linked_sql(ext_synth, dims)},
+            spo AS (
+                SELECT coalesce(arg1_fbid, {node1}) AS sid,
+                       coalesce(arg2_fbid, {node2}) AS oid
+                FROM linked
+            )
+            SELECT sid AS subject_id,
+                   coalesce(array_to_string(list_sort(list(DISTINCT oid)), ','), '') AS dst_csv,
+                   count(*) AS out_degree
+            FROM spo GROUP BY 1
+        """,
+        "kg_instance_dedup": f"""
+            SELECT url, arg1_norm, rel_norm, arg2_norm, confidence
+            FROM read_parquet('{p["inst_dedup"]}')
+        """,
+        "kg_nary": f"""
+            SELECT url, sent_id, kind, arg1_norm, rel_norm, arg2_norm,
+                   coalesce(array_to_string(arg2_texts, ' | '), '') AS arg2s
+            FROM read_parquet('{p["nary_synth"]}')
+        """,
+        "mm_features": f"""
+            SELECT media_id, payload_bytes, round(feat_sum_raw, 4) AS feat_sum
+            FROM read_parquet('{p["mm_features"]}')
+        """,
+    }

@@ -81,8 +81,13 @@ def group_extractions(
     ex = ex.withColumn("_prev_ih", F.lag("_ih").over(w_dup)).filter(
         F.col("_prev_ih").isNull() | (F.col("_prev_ih") != F.col("_ih"))
     )
+    # total order within the key: after the instance dedup, two distinct
+    # rows must differ in at least one span bound, so this ordering has
+    # no ties and the cap + top-instance selection are fully determined
     w = Window.partitionBy(*GROUP_KEY).orderBy(
-        F.desc("confidence"), F.asc("url"), F.asc("sent_id"), F.asc("arg1_start")
+        F.desc("confidence"), F.asc("url"), F.asc("sent_id"),
+        F.asc("arg1_start"), F.asc("arg1_end"), F.asc("rel_start"),
+        F.asc("rel_end"), F.asc("arg2_start"), F.asc("arg2_end"),
     )
     ex = (
         ex.withColumn("_rn", F.row_number().over(w))

@@ -44,6 +44,9 @@ class QuerySpec:
     corpora: str | None = None
     max_groups: int = DEFAULT_MAX_GROUPS
     stem: bool = True
+    # QuerySpec.scala:32,36,128 — `and: Boolean`: False answers the
+    # disjunction of the field predicates instead of the conjunction
+    conjunction: bool = True
 
     def predicate(self):
         conds = []
@@ -68,7 +71,7 @@ class QuerySpec:
             return F.lit(True)
         pred = conds[0]
         for c in conds[1:]:
-            pred = pred & c
+            pred = (pred & c) if self.conjunction else (pred | c)
         return pred
 
 

@@ -34,7 +34,16 @@ def test_streaming_incremental_ingest(spark, tmp_path):
 
     schema = "url string, text string, lang string"
     batch1 = spark.createDataFrame(
-        [("u1", "Acme Corp acquired Globex Inc. .", "en")], schema
+        [
+            ("u1", "Acme Corp acquired Globex Inc. .", "en"),
+            # extra groups batch 2 does NOT touch — their bucket files
+            # must survive the second merge byte-identical
+            ("u0a", "Initech is located in Springfield .", "en"),
+            ("u0b", "Marie Curie invented the widget .", "en"),
+            ("u0c", "Hooli announced a partnership with Oscorp .", "en"),
+            ("u0d", "Rosa Parks moved to Gotham .", "en"),
+        ],
+        schema,
     )
     batch1.write.parquet(str(landing / "b1"))
     run_incremental(spark, str(landing) + "/*", groups_dir, ckpt, batch1.schema)
@@ -49,12 +58,44 @@ def test_streaming_incremental_ingest(spark, tmp_path):
         ],
         schema,
     )
+    # snapshot every bucket file before batch 2 so we can verify the
+    # merge rewrote ONLY the buckets batch 2 touched (o(table) ingest)
+    import hashlib
+
+    def bucket_state():
+        state = {}
+        for root, _, files in os.walk(groups_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        state[p] = hashlib.md5(fh.read()).hexdigest()
+        return state
+
+    before = bucket_state()
     batch2.write.parquet(str(landing / "b2"))
     run_incremental(spark, str(landing) + "/*", groups_dir, ckpt, batch2.schema)
     g2 = spark.read.parquet(groups_dir)
     acq = g2.filter(F.col("rel_norm") == "acquire").first()
     assert acq["size"] == 2 and acq["needs_relink"]
     assert g2.filter(F.col("rel_norm") == "be found by").count() == 1
+
+    after = bucket_state()
+    from openie_backend_spark.streaming.ingest import bucket_col
+
+    touched = {
+        r["b"]
+        for r in g2.filter(
+            F.col("rel_norm").isin("acquire", "be found by")
+        ).select(bucket_col().alias("b")).collect()
+    }
+    untouched_before = {
+        p: h for p, h in before.items()
+        if not any(f"bucket={b}/" in p for b in touched)
+    }
+    assert untouched_before, "test needs at least one untouched bucket"
+    for p, h in untouched_before.items():
+        assert p in after and after[p] == h, f"untouched bucket rewritten: {p}"
 
     # idempotence: re-running with no new files changes nothing
     run_incremental(spark, str(landing) + "/*", groups_dir, ckpt, batch2.schema)
