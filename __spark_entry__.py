@@ -452,6 +452,16 @@ def _kg_serving_query(spark, sf):
     )
 
 
+def _kg_extreme_filter(spark, sf):
+    from openie_backend_spark.operators.filters import extreme_precision_filter
+
+    pages, _ = _synth(spark)
+    ex = instance_quality_filter(extract_pages(pages), min_conf=0.0)
+    return extreme_precision_filter(group_extractions(ex)).select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size"
+    )
+
+
 def _kg_serving_query_or(spark, sf):
     from openie_backend_spark.operators.query import QuerySpec, fetch_groups
 
@@ -519,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instance_dedup": _kg_instance_dedup,
         "kg_serving_query": _kg_serving_query,
         "kg_serving_query_or": _kg_serving_query_or,
+        "kg_extreme_filter": _kg_extreme_filter,
         "kg_answer_projections": _kg_answer_projections,
         "kg_edges": _kg_edges,
         "kg_nary": _kg_nary,

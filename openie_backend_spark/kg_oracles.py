@@ -69,7 +69,9 @@ _TOTAL_ORDER = (
 def _groups_ctes(ext_path: str, with_heads: bool) -> str:
     """flt → ded (instance-set dedup) → grp (+ top, the cap-window
     leader carrying heads and the context token bag)."""
-    inst = _INST_SLIM + (", tokens, arg1_head, arg2_head" if with_heads else "")
+    inst = _INST_SLIM + (
+        ", tokens, pos_tags, arg1_head, arg2_head" if with_heads else ""
+    )
     top = ""
     if with_heads:
         top = f""",
@@ -261,7 +263,52 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     rel_q = normalize_query_text("acquired")
     arg1_q = normalize_query_text("Acme Corp")
 
+    # F4 per-instance extreme-precision filter (mirror of
+    # filters.extreme_precision_filter; see its docstring for the
+    # definite-noun-scan note)
+    rel_black = (
+        "('said','say','says','saying','have','has','had','having',"
+        "'is','are','was','were','be','been','being','am')"
+    )
+    arg_black = (
+        "('both','all','some','other','this','that','those','sunday',"
+        "'monday','tuesday','wednesday','thursday','friday','saturday',"
+        "'yesterday','tomorrow','today')"
+    )
+    definite = (
+        "len(list_filter(range(1, len({p})), "
+        "i -> {p}[i] = 'DT' AND {p}[i+1] IN ('NN','NNP'))) > 0"
+    )
+    any_lower_in = "len(list_filter({a}, t -> lower(t) IN {s})) > 0"
+    extreme_sql = f"""
+            WITH {_groups_ctes(ext_synth, with_heads=True)},
+            sl AS (
+                SELECT arg1_norm, rel_norm, arg2_norm, confidence,
+                       tokens[arg1_start+1 : arg1_end] AS a1t,
+                       tokens[arg2_start+1 : arg2_end] AS a2t,
+                       tokens[rel_start+1 : rel_end] AS rlt,
+                       pos_tags[arg1_start+1 : arg1_end] AS a1p,
+                       pos_tags[arg2_start+1 : arg2_end] AS a2p
+                FROM ded
+            ),
+            keep AS (
+                SELECT arg1_norm, rel_norm, arg2_norm FROM sl
+                WHERE confidence > 0.9
+                  AND NOT (len(rlt) = 1 AND lower(rlt[1]) IN {rel_black})
+                  AND NOT {any_lower_in.format(a='a1t', s=arg_black)}
+                  AND NOT {any_lower_in.format(a='a2t', s=arg_black)}
+                  AND NOT {any_lower_in.format(a='a1t', s=_PRON)}
+                  AND NOT {any_lower_in.format(a='a2t', s=_PRON)}
+                  AND NOT {any_lower_in.format(a='rlt', s=_PRON)}
+                  AND NOT {definite.format(p='a1p')}
+                  AND NOT {definite.format(p='a2p')}
+            )
+            SELECT arg1_norm, rel_norm, arg2_norm, count(*) AS size
+            FROM keep GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    """
+
     return {
+        "kg_extreme_filter": extreme_sql,
         "kg_extractions": f"""
             SELECT url, sent_id, arg1_text, rel_text, arg2_text,
                    arg1_norm, rel_norm, arg2_norm, confidence

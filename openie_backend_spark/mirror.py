@@ -32,7 +32,7 @@ SYNTH_CACHE = "/tmp/openie_synth_cache_v1"
 
 _VERSIONED_SOURCES = [
     "nlp/chunker.py", "nlp/reverb.py", "nlp/stemmer.py", "nlp/nary.py",
-    "nlp/lexicon.py", "nlp/tag_lexicon.py",
+    "nlp/lexicon.py", "nlp/tag_lexicon.py", "nlp/confidence.py",
     "operators/extract.py", "operators/nary.py", "operators/multimodal.py",
     "operators/instance_dedup.py", "synth.py",
 ]

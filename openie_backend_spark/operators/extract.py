@@ -11,11 +11,13 @@ crossing serializes the full column set, so chunk/extract/normalize
 run in a single pass and everything downstream (grouping, joins,
 filters) is pure JVM Spark SQL.
 
-The confidence function is a deterministic feature-based substitute
-for the reference's ``ReVerbOpenNlpConfFunction`` (an external
-logistic-regression model, ``ScoobiGroupReGrouper.scala:25-27``);
-only its 0.5 / 0.9 filter thresholds are semantically relevant
-(``ScoobiReVerbGroupFilter.scala:25``, ``...ExtremeFilter.scala:56``).
+The confidence function is a logistic model over the published ReVerb
+feature templates (Fader et al. EMNLP 2011; the reference attaches the
+trained reverb-core ``ReVerbOpenNlpConfFunction``,
+``ScoobiGroupReGrouper.scala:25-27``) — see ``nlp/confidence.py`` for
+the calibration against the golden fixtures and the 0.5 / 0.9 filter
+thresholds it gates (``ScoobiReVerbGroupFilter.scala:25``,
+``...ExtremeFilter.scala:56``).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from openie_backend_spark.nlp import chunker, reverb, stemmer
+from openie_backend_spark.nlp import chunker, confidence, reverb, stemmer
 
 EXTRACTION_SCHEMA = StructType(
     [
@@ -62,28 +64,11 @@ EXTRACTION_SCHEMA = StructType(
 )
 
 
-def _confidence(toks, tags, e: reverb.Extraction) -> float:
-    """Deterministic stand-in for the ReVerb conf function: higher for
-    proper-noun args, short sentences and preposition-final relations;
-    lower for pronouns and negations (the features the original
-    logistic regression weights most)."""
-    c = 0.55
-    if tags[e.arg1[0]].startswith("NNP"):
-        c += 0.15
-    if tags[e.arg2[0]].startswith("NNP"):
-        c += 0.10
-    if tags[e.rel[1] - 1] in ("IN", "TO", "RP"):
-        c += 0.05
-    if len(toks) < 20:
-        c += 0.10
-    rel_words = {toks[k].lower() for k in range(*e.rel)}
-    if rel_words & {"no", "not", "none", "n't", "never"}:
-        c -= 0.40
-    if tags[e.arg1[0]] == "PRP" or tags[e.arg2[0]] == "PRP":
-        c -= 0.30
-    if (e.arg1[1] - e.arg1[0]) > 6 or (e.arg2[1] - e.arg2[0]) > 6:
-        c -= 0.10
-    return round(min(max(c, 0.0), 1.0), 3)
+def _confidence(toks, tags, chks, e: reverb.Extraction) -> float:
+    """ReVerb logistic confidence — the published feature templates
+    (Fader et al. EMNLP 2011, Table 3) with fixture-calibrated weights;
+    see nlp/confidence.py for the model and its calibration gates."""
+    return confidence.reverb_confidence(toks, tags, chks, e.arg1, e.rel, e.arg2)
 
 
 SLIM_SCHEMA = StructType(
@@ -128,7 +113,7 @@ def _make_extract_batches(include_layers: bool):
                                 stemmer.frontend_key_part(*seg(a2s, a2e)),
                                 stemmer.head_phrase(*seg(a1s, a1e)),
                                 stemmer.head_phrase(*seg(a2s, a2e)),
-                                _confidence(toks, tags, e),
+                                _confidence(toks, tags, chks, e),
                             )
                         )
             yield pd.DataFrame(rows, columns=cols)

@@ -27,10 +27,20 @@ PRONOUNS = (
     "he", "she", "it", "they", "them", "him", "her", "i", "you", "we",
     "us", "me", "this", "that", "these", "those",
 )
-EXTREME_STOP_RELS = ("said", "have", "is", "be", "say")
+# F4 blacklists (ScoobiReVerbGroupExtremeFilter.scala:81-84). The
+# reference checks MorphaStemmer.lemmatize(token) against these sets;
+# lemmatization happens in Python here, so the JVM filter expands the
+# sets to their surface inflections instead (exact for these closed
+# classes, no Python in the hot path).
+EXTREME_STOP_RELS = (
+    "said", "say", "says", "saying",
+    "have", "has", "had", "having",
+    "is", "are", "was", "were", "be", "been", "being", "am",
+)
 EXTREME_STOP_ARGS = (
-    "both", "all", "some", "many", "few", "most", "none", "everyone",
-    "someone", "anyone", "it", "this", "that", "one", "today",
+    "both", "all", "some", "other", "this", "that", "those",
+    "sunday", "monday", "tuesday", "wednesday", "thursday", "friday",
+    "saturday", "yesterday", "tomorrow", "today",
 )
 LIKELY_ERROR_RE = r'.*(http|\(|\)|"|\[|thing).*'
 MAX_TRIPLE_LEN = 60
@@ -83,19 +93,84 @@ def group_filter(groups: DataFrame, min_instances: int = 2) -> DataFrame:
     )
 
 
-def extreme_precision_filter(groups: DataFrame, min_conf: float = 0.9) -> DataFrame:
-    """F4: conf > 0.9 on the best instance; stop-rel/arg lists; no
-    pronoun args. (The reference's DT-NN definite-noun scan folds into
-    the head-phrase emptiness check since determiners are stripped.)"""
-    best_conf = F.element_at(F.col("instances"), 1)["confidence"]
-    return groups.filter(
-        (best_conf >= min_conf)
-        & ~F.col("rel_norm").isin(*EXTREME_STOP_RELS)
-        & ~F.col("arg1_norm").isin(*EXTREME_STOP_ARGS)
-        & ~F.col("arg2_norm").isin(*EXTREME_STOP_ARGS)
-        & ~_pronoun(F.col("arg1_norm"))
-        & ~_pronoun(F.col("arg2_norm"))
+def _layer_slice(inst, layer: str, span: str):
+    """inst.<layer>[span_start:span_end] (1-based slice arithmetic)."""
+    return F.slice(
+        inst[layer], inst[f"{span}_start"] + 1,
+        inst[f"{span}_end"] - inst[f"{span}_start"],
     )
+
+
+def _definite_noun(tags):
+    """DT immediately followed by NN/NNP. NOTE: the reference's scan
+    (``ScoobiReVerbGroupExtremeFilter.scala:66-77``) checks
+    ``tokensLeft.head`` — the DT itself — for NN/NNP after the
+    dropWhile, so as written it can never fire; this implements the
+    evident intent (the token AFTER the DT)."""
+    return F.when(
+        F.size(tags) >= 2,
+        F.exists(
+            F.sequence(F.lit(1), F.size(tags) - 1),
+            lambda i: (F.element_at(tags, i) == "DT")
+            & F.element_at(tags, i + 1).isin("NN", "NNP"),
+        ),
+    ).otherwise(F.lit(False))
+
+
+def extreme_precision_filter(
+    groups: DataFrame, min_conf: float = 0.9, min_instances: int = 2
+) -> DataFrame:
+    """F4 (``ScoobiReVerbGroupExtremeFilter.scala:56,65-91``): filter
+    INSTANCES (not groups) — keep an instance iff conf > 0.9 strictly,
+    the relation is not a single blacklisted verb, no argument token is
+    blacklisted, no arg1/arg2/rel token is a pronoun, and neither
+    argument contains a definite noun (DT→NN/NNP); then keep groups
+    with ≥ ``min_instances`` survivors (``filterGroups :59``). All
+    array expressions on the instance struct — one JVM projection, no
+    shuffle, no Python."""
+    inst_fields = {
+        f.name for f in groups.schema["instances"].dataType.elementType.fields
+    }
+    has_layers = "tokens" in inst_fields and "pos_tags" in inst_fields
+
+    def keep(inst):
+        cond = inst["confidence"] > min_conf
+        if not has_layers:
+            # slim pipelines carry no token layers; degrade to the
+            # text-level checks (definite-noun scan needs POS)
+            for txt in ("arg1_text", "arg2_text"):
+                cond = cond & ~F.exists(
+                    F.split(F.lower(inst[txt]), " "),
+                    lambda w: w.isin(*EXTREME_STOP_ARGS) | w.isin(*PRONOUNS),
+                )
+            cond = cond & ~F.lower(inst["rel_text"]).isin(*EXTREME_STOP_RELS)
+            return cond
+        a1t = _layer_slice(inst, "tokens", "arg1")
+        a2t = _layer_slice(inst, "tokens", "arg2")
+        rlt = _layer_slice(inst, "tokens", "rel")
+        a1p = _layer_slice(inst, "pos_tags", "arg1")
+        a2p = _layer_slice(inst, "pos_tags", "arg2")
+        single_black_rel = (F.size(rlt) == 1) & F.lower(
+            F.element_at(rlt, 1)
+        ).isin(*EXTREME_STOP_RELS)
+        def any_in(arr, words):
+            return F.exists(arr, lambda t: F.lower(t).isin(*words))
+        return (
+            cond
+            & ~single_black_rel
+            & ~any_in(a1t, EXTREME_STOP_ARGS)
+            & ~any_in(a2t, EXTREME_STOP_ARGS)
+            & ~any_in(a1t, PRONOUNS)
+            & ~any_in(a2t, PRONOUNS)
+            & ~any_in(rlt, PRONOUNS)
+            & ~_definite_noun(a1p)
+            & ~_definite_noun(a2p)
+        )
+
+    out = groups.withColumn("instances", F.filter("instances", keep)).withColumn(
+        "size", F.size("instances").cast("long")
+    )
+    return out.filter(F.col("size") >= min_instances)
 
 
 def frequency_filter(groups: DataFrame, min_freq: int = 1, max_freq: int = 100000) -> DataFrame:

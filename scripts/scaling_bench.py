@@ -2,26 +2,30 @@
 job at local[N] and local[4N] on the SAME input, reporting throughput
 at both plus scaling efficiency → BENCH/BASELINE.md.
 
-Measurement protocol (what a multi-executor scaling test would do):
+Measurement protocol (VERDICT r1 #4: interleaved A/B pairs, median):
 
 * the input is the sf documents table replicated ``SCALE_MULT``-fold
   (deterministic: crossJoin with a range, url disambiguated by replica
-  id) so the job is compute-bound rather than fixed-overhead-bound —
-  at sf0.1 × 100 the extraction stage alone is ~3 minutes of
-  single-core NLP work;
-* each parallelism level runs in its own subprocess (fresh JVM);
-* a small warm-up run first-touches codegen + Python workers, then the
-  timed run measures steady-state throughput — on a real cluster the
-  fleet is warm, and per-JVM fixed costs are not what the N→4N
-  criterion is about.
+  id) so the job is compute-bound rather than fixed-overhead-bound;
+* BOTH parallelism levels run as resident subprocesses (fresh JVMs,
+  warmed up once); the controller then alternates N→4N→N→4N… so each
+  efficiency PAIR is measured inside the same co-tenant-noise window —
+  sequential phases (round 1) let a load storm hit one phase only and
+  produced 0.33–1.35 swings;
+* the headline is the MEDIAN of ≥5 per-pair efficiencies (not the max);
+* each level also times a quarter-size input, so the marginal
+  (Amdahl-decomposed) efficiency can be derived: the per-job constant
+  (planning, codegen, stage barriers) is O(1) per job and vanishes at
+  10^12-doc inputs — the ledger reports both.
 
-Usage: python scripts/scaling_bench.py [sf_dir] [N] [mult]
+Usage: python scripts/scaling_bench.py [sf_dir] [N] [mult] [pairs]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -44,7 +48,6 @@ spark.sparkContext.setLogLevel("ERROR")
 
 docs = spark.read.parquet(sf_dir + "/documents.parquet")
 base_docs = docs.count()
-n_docs = base_docs * mult
 
 def replicated(m):
     reps = spark.range(m).withColumnRenamed("id", "rep")
@@ -78,135 +81,166 @@ def mh():
         distinct_text, num_hashes=8, bands=4, max_full_bucket=20
     ).count()
 
-n_docs_mh = base_docs * mult_small
-
-# warm-up: same code paths, tiny slice
+# warm-up: same code paths (codegen, Python worker pool, page cache)
 warm = big.limit(200).cache(); warm.count()
 ex = instance_quality_filter(extract_pages(warm, include_layers=False), min_conf=0.0)
 spo_table(group_extractions(ex)).count()
 warm.unpersist()
 
-# min-of-k per point under co-tenant noise; TWO input sizes per level
-# so the marginal (Amdahl-decomposed) throughput can be derived: the
-# per-job fixed cost (planning, stage barriers, codegen) does not grow
-# with input and is not what the N->4N criterion is about at 10^12 docs
-kg_secs, kg_small_secs = [], []
-triples = 0
-for _ in range(5):
-    t0 = time.time(); triples = kg(big); kg_secs.append(time.time() - t0)
-    t0 = time.time(); kg(small); kg_small_secs.append(time.time() - t0)
-kg_sec = min(kg_secs)
-kg_small_sec = min(kg_small_secs)
-marg_rate = (base_docs * (mult - mult_small)) / max(kg_sec - kg_small_sec, 0.001)
-import os as _os
-if _os.environ.get("SKIP_MH"):
-    mh_sec, pairs = 1e9, -1
-else:
-    mh_secs = []
-    pairs = 0
-    for _ in range(2):
-        t0 = time.time(); pairs = mh(); mh_secs.append(time.time() - t0)
-    mh_sec = min(mh_secs)
-print(json.dumps({
-    "cpus": cpus, "docs": n_docs, "kg_sec": round(kg_sec, 2), "kg_secs_all": [round(x,1) for x in kg_secs],
-    "mh_sec": round(mh_sec, 2), "triples": triples, "pairs": pairs,
-    "kg_docs_per_sec": round(n_docs / kg_sec, 1),
-    "kg_small_sec": round(kg_small_sec, 2),
-    "kg_marginal_docs_per_sec": round(marg_rate, 1),
-    "mh_docs_per_sec": round(n_docs_mh / mh_sec, 1),
-    "kg_triples_per_hour": round(triples / kg_sec * 3600, 0),
-}))
+print(json.dumps({"ready": True, "cpus": cpus, "base_docs": base_docs}), flush=True)
+
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "quit":
+        break
+    t0 = time.time()
+    if cmd == "big":
+        n = kg(big)
+    elif cmd == "small":
+        n = kg(small)
+    elif cmd == "mh":
+        n = mh()
+    else:
+        continue
+    print(json.dumps({"cmd": cmd, "sec": round(time.time() - t0, 2),
+                      "out": n}), flush=True)
 """
 
 
-def run_level(sf_dir: str, cpus: int, mult: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER, sf_dir, str(cpus), str(mult)],
-        capture_output=True, text=True, timeout=5400, cwd=REPO,
-        env=dict(os.environ, PYTHONPATH=REPO),
-    )
-    if out.returncode != 0:
-        raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+class Level:
+    def __init__(self, sf_dir: str, cpus: int, mult: int):
+        self.cpus = cpus
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", WORKER, sf_dir, str(cpus), str(mult)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd=REPO, env=dict(os.environ, PYTHONPATH=REPO),
+        )
+        self.ready = json.loads(self._read())
+
+    def _read(self) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker local[{self.cpus}] died")
+            line = line.strip()
+            if line.startswith("{"):
+                return line
+
+    def run(self, cmd: str) -> dict:
+        self.proc.stdin.write(cmd + "\n")
+        self.proc.stdin.flush()
+        return json.loads(self._read())
+
+    def stop(self):
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 
-    lo = run_level(sf_dir, n, mult)
-    hi = run_level(sf_dir, 4 * n, mult)
+    lo = Level(sf_dir, n, mult)
+    hi = Level(sf_dir, 4 * n, mult)
+    base_docs = lo.ready["base_docs"]
+    n_docs = base_docs * mult
+    mult_small = max(mult // 4, 1)
 
-    kg_eff = hi["kg_docs_per_sec"] / (4 * lo["kg_docs_per_sec"])
-    kg_marg_eff = hi["kg_marginal_docs_per_sec"] / (4 * lo["kg_marginal_docs_per_sec"])
-    mh_eff = (
-        hi["mh_docs_per_sec"] / (4 * lo["mh_docs_per_sec"])
-        if lo["mh_docs_per_sec"] > 0
-        else 0.0
-    )
+    pairs = []
+    for i in range(n_pairs):
+        a = lo.run("big"); a_s = lo.run("small")
+        b = hi.run("big"); b_s = hi.run("small")
+        raw = (n_docs / b["sec"]) / (4 * (n_docs / a["sec"]))
+        marg_lo = base_docs * (mult - mult_small) / max(a["sec"] - a_s["sec"], 1e-3)
+        marg_hi = base_docs * (mult - mult_small) / max(b["sec"] - b_s["sec"], 1e-3)
+        marg = marg_hi / (4 * marg_lo)
+        pairs.append({
+            "n_sec": a["sec"], "n_small_sec": a_s["sec"],
+            "hi_sec": b["sec"], "hi_small_sec": b_s["sec"],
+            "raw_eff": round(raw, 3), "marg_eff": round(marg, 3),
+            "triples": b["out"],
+        })
+        assert a["out"] == b["out"], "determinism: outputs differ across levels"
+        print(f"pair {i+1}/{n_pairs}: raw {raw:.3f} marg {marg:.3f} "
+              f"(N {a['sec']}s, 4N {b['sec']}s)", file=sys.stderr)
+
+    mh_lo = lo.run("mh"); mh_hi = hi.run("mh")
+    assert mh_lo["out"] == mh_hi["out"]
+    # eff = (docs/s at 4N) / (4 × docs/s at N) = lo_sec / (4 · hi_sec)
+    mh_eff = mh_lo["sec"] / mh_hi["sec"] / 4
+    lo.stop(); hi.stop()
+
+    raw_med = statistics.median(p["raw_eff"] for p in pairs)
+    marg_med = statistics.median(p["marg_eff"] for p in pairs)
+    best_pair = max(p["raw_eff"] for p in pairs)
+    kg_tph = max(p["triples"] / p["hi_sec"] * 3600 for p in pairs)
+    hi_docs_per_sec = max(n_docs / p["hi_sec"] for p in pairs)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ledger = os.path.join(REPO, "BENCH", "runs.jsonl")
     with open(ledger, "a") as fh:
-        fh.write(json.dumps({"mult": mult, "kg_eff": round(kg_eff, 3),
-                             "kg_marg_eff": round(kg_marg_eff, 3),
-                             "mh_eff": round(mh_eff, 3),
-                             "N": lo, "4N": hi}) + "\n")
-    # best-observed across the ledger: the host is shared with co-tenant
-    # load storms (observed loadavg > 20 mid-run, and one run measured
-    # super-linear 1.35x "efficiency" — impossible except by external
-    # slowdown of the N run), so min-time / best-efficiency across
-    # repeated identical runs is the honest steady-state estimator
-    best_kg = max((json.loads(l).get("kg_eff", 0) for l in open(ledger)), default=kg_eff)
-    best_marg = max((json.loads(l).get("kg_marg_eff", 0) for l in open(ledger)), default=kg_marg_eff)
-    best_mh = max((min(json.loads(l).get("mh_eff", 0), 1.0) for l in open(ledger)), default=mh_eff)
-    n_runs = sum(1 for _ in open(ledger))
-    ledger_summary = (
-        f"**Best observed across {n_runs} identical runs (BENCH/runs.jsonl):** "
-        f"KG pipeline **{best_kg:.3f}**, KG marginal **{best_marg:.3f}**, "
-        f"MinHash dedup **{best_mh:.3f}** (runs capped at 1.0; one run "
-        f"measured 1.35x, i.e. the N-phase itself was externally slowed). "
-        f"The host is shared: co-tenant load storms (loadavg > 20 observed "
-        f"mid-run) swing single-run numbers between ~0.33 and ~0.83+; the "
-        f"table below is THIS run's raw data.")
+        fh.write(json.dumps({
+            "protocol": "interleaved_pairs", "mult": mult, "N": n,
+            "raw_median": round(raw_med, 3), "marg_median": round(marg_med, 3),
+            "mh_eff": round(mh_eff, 3), "pairs": pairs,
+        }) + "\n")
+
+    rows = "\n".join(
+        f"| {i+1} | {p['n_sec']} | {p['hi_sec']} | {p['raw_eff']:.3f} | "
+        f"{p['marg_eff']:.3f} |"
+        for i, p in enumerate(pairs)
+    )
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
         fh.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
-Same job, same input ({sf_dir} documents × {mult} replicas =
-{lo['docs']} docs), two parallelism levels, fresh JVM per level,
-steady-state (post-warm-up) timing — the local[K] stand-in for the
-north rule's N → 4N executor criterion.
+**Headline (median of {n_pairs} interleaved A/B pairs): KG pipeline
+N→4N scaling efficiency raw = {raw_med:.3f}, marginal = {marg_med:.3f}
+(gate ≥ 0.8).** MinHash dedup efficiency = {mh_eff:.3f}.
 
-| job | level | cpus | sec | docs/s | outputs |
-|---|---|---|---|---|---|
-| KG pipeline (extract→filter→group→SPO) | N  | {n} | {lo['kg_sec']} | {lo['kg_docs_per_sec']} | {lo['triples']} triples |
-| KG pipeline | 4N | {4 * n} | {hi['kg_sec']} | {hi['kg_docs_per_sec']} | {hi['triples']} triples |
-| MinHash-LSH dedup | N  | {n} | {lo['mh_sec']} | {lo['mh_docs_per_sec']} | {lo['pairs']} pairs |
-| MinHash-LSH dedup | 4N | {4 * n} | {hi['mh_sec']} | {hi['mh_docs_per_sec']} | {hi['pairs']} pairs |
+Protocol: the SAME job (extract → F2 filter → group → SPO, the engine's
+headline pipeline) over {sf_dir} documents × {mult} replicas =
+{n_docs} docs, at local[{n}] (N) and local[{4 * n}] (4N). Both JVMs are
+resident and warmed; each pair measures N then 4N back-to-back inside
+one noise window, because this host is shared and sequential-phase
+protocols let a co-tenant load storm hit one phase only (round-1 runs
+swung 0.33–1.35). Median-of-pairs is the headline, per the round-1
+verdict; per-pair data below.
 
-- **KG pipeline scaling efficiency (N→4N)**, raw end-to-end = **{kg_eff:.3f}**
-- **KG pipeline scaling efficiency, marginal** (Amdahl-decomposed via two
-  input sizes: excludes the constant per-job cost — planning, codegen,
-  stage barriers — which is O(1) per job, not O(data), and vanishes at
-  10^12-doc inputs) = **{kg_marg_eff:.3f}**
-- **MinHash dedup scaling efficiency** = **{mh_eff:.3f}**
-- KG throughput at 4N: **{hi['kg_triples_per_hour']:.0f} triples/hour** at sf ≈ {sf_dir.rsplit('sf', 1)[-1]} × {mult}
+| pair | N sec | 4N sec | raw eff | marginal eff |
+|---|---|---|---|---|
+{rows}
 
-{ledger_summary}
-Caveat: the box has {os.cpu_count()} physical cores, one JVM
-heap and one shared page cache; at 4N = {4 * n} the machine is fully
-saturated and hyperthread-free headroom is zero, so these numbers
-UNDER-state what distinct 4N executors deliver. Output identity across
-levels (same triples / pairs counts) doubles as a determinism check.
+- raw eff = (docs/s at 4N) / (4 × docs/s at N), end-to-end wall time.
+- marginal eff: each level also times a quarter-size input; the
+  marginal rate Δdocs/Δsec excludes the per-job constant (planning,
+  codegen, stage barriers — O(1) per job, irrelevant at 10^12 docs).
+  Constant term this run ≈ {pairs[-1]['n_small_sec']:.1f}s·4/3 at N
+  vs {pairs[-1]['hi_small_sec']:.1f}s·4/3 at 4N quarter-size runs.
+- KG throughput at 4N: **{kg_tph:.0f} triples/hour**,
+  {hi_docs_per_sec:.0f} docs/s on this corpus (best pair).
+- Output identity across levels every pair (same triple count
+  {pairs[-1]['triples']}) doubles as a determinism check.
+- best single pair this run: {best_pair:.3f}.
+
+Caveat: the box has {os.cpu_count()} cores with one shared page cache;
+at 4N = {4 * n} scheduler/co-tenant interference is real contention a
+true 4N-executor cluster would not see, so these numbers UNDER-state
+cluster scaling. Ledger of all runs: BENCH/runs.jsonl.
 
 ```json
-{json.dumps({"N": lo, "4N": hi}, indent=2)}
+{json.dumps(pairs, indent=2)}
 ```
 """)
-    print(json.dumps({"kg_eff": round(kg_eff, 3), "kg_marg_eff": round(kg_marg_eff, 3),
+    print(json.dumps({"raw_median": round(raw_med, 3),
+                      "marg_median": round(marg_med, 3),
                       "mh_eff": round(mh_eff, 3), "out": path}))
 
 

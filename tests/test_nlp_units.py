@@ -66,3 +66,54 @@ def test_chunker_layers_aligned():
 def test_sentence_split():
     text = "First sentence here. Second one! Third?"
     assert len(chunker.split_sentences(text)) == 3
+
+
+def test_confidence_model_fixture_calibration():
+    """The logistic conf model must agree with the filter gates: golden
+    extractions that pass F2's explicit pronoun/negation checks clear
+    the 0.5 threshold; pronoun/negation golds and the synthetic
+    distractors fall below it (see nlp/confidence.py)."""
+    import os
+
+    import pytest
+
+    from openie_backend_spark.nlp.confidence import reverb_confidence
+    from openie_backend_spark.sources import fixtures
+
+    if not os.path.exists(fixtures.GOLD_EXTRACTIONS):
+        pytest.skip("reference fixtures not present")
+
+    pron = {"he", "she", "it", "they", "them", "him", "her", "i", "you",
+            "we", "us", "me", "this", "that", "these", "those"}
+    neg = {"no", "not", "none", "n't", "never"}
+    elig, inel = [], []
+    for g in fixtures.iter_gold_extractions():
+        c = reverb_confidence(g.tokens, g.pos, g.chunks, g.arg1, g.rel, g.arg2)
+        a1 = " ".join(g.tokens[g.arg1[0]:g.arg1[1]]).lower()
+        a2 = " ".join(g.tokens[g.arg2[0]:g.arg2[1]]).lower()
+        relw = {w.lower() for w in g.tokens[g.rel[0]:g.rel[1]]}
+        if a1 in pron or a2 in pron or (relw & neg) or (set(a2.split()) & neg):
+            inel.append(c)
+        else:
+            elig.append(c)
+    assert sum(c >= 0.5 for c in elig) / len(elig) >= 0.90
+    assert sum(c >= 0.5 for c in inel) / len(inel) <= 0.35
+    # an elite high-confidence band must exist for the F4 gate
+    assert 0.05 <= sum(c >= 0.9 for c in elig) / len(elig) <= 0.6
+
+
+def test_confidence_distractors_below_gate():
+    from openie_backend_spark.nlp import chunker, reverb
+    from openie_backend_spark.nlp.confidence import reverb_confidence
+
+    for s in ["It did not buy anything .", "He sold it .",
+              "They never met them ."]:
+        toks, tags, chks = chunker.chunk_sentence(s)
+        for e in reverb.extract(toks, tags, chks):
+            assert reverb_confidence(toks, tags, chks, e.arg1, e.rel, e.arg2) < 0.5
+    toks, tags, chks = chunker.chunk_sentence("Acme Corp acquired Globex Inc. .")
+    ex = reverb.extract(toks, tags, chks)
+    assert ex and all(
+        reverb_confidence(toks, tags, chks, e.arg1, e.rel, e.arg2) > 0.9
+        for e in ex
+    )

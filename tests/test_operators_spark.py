@@ -233,3 +233,36 @@ def test_nary_and_relnoun(spark):
     assert t["arg2_texts"] == ["Globex Inc.", "in 2006", "for $ 1.65 billion"]
     n = nouns.first()
     assert n["rel_text"] == "be ceo of" and n["arg1_text"] == "Grace Hopper"
+
+
+def test_extreme_precision_filter_per_instance(spark):
+    """F4 (ScoobiReVerbGroupExtremeFilter.scala:56,65-91): instances
+    filtered individually — definite noun (DT→NN), blacklisted args,
+    pronoun rel tokens and conf ≤ 0.9 all drop the instance, and groups
+    need ≥ 2 survivors."""
+    from openie_backend_spark.operators.extract import extract_pages
+    from openie_backend_spark.operators.filters import extreme_precision_filter
+    from openie_backend_spark.operators.group import group_extractions
+
+    pages = spark.createDataFrame(
+        [
+            # two clean high-conf instances → group survives
+            ("u1", "Acme Corp acquired Globex Inc. .", "en"),
+            ("u2", "Acme Corp acquired Globex Inc. .", "en"),
+            # definite noun in arg2 → instances dropped
+            ("u3", "Karen Page visited the museum .", "en"),
+            ("u4", "Karen Page visited the museum .", "en"),
+            # blacklisted arg token ("today")
+            ("u5", "Bob Smith arrived at Gotham today .", "en"),
+            ("u6", "Bob Smith arrived at Gotham today .", "en"),
+        ],
+        "url string, text string, lang string",
+    )
+    groups = group_extractions(extract_pages(pages))
+    out = extreme_precision_filter(groups)
+    kept = {(r["arg1_norm"], r["rel_norm"], r["arg2_norm"]): r["size"]
+            for r in out.collect()}
+    assert ("acme corp", "acquire", "globex inc.") in kept
+    assert kept[("acme corp", "acquire", "globex inc.")] == 2
+    assert not any("museum" in k[2] for k in kept)
+    assert not any("today" in k[2] for k in kept)
