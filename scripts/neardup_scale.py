@@ -1,0 +1,118 @@
+"""Near-dup pair-stage growth evidence (VERDICT r1 #3 done-criterion):
+run the near-dup operators at 1× and 10× the document count and show
+the pair stage grows sub-quadratically → BENCH/NEARDUP.md.
+
+The 10× corpus is the sf documents table replicated with a per-replica
+textual perturbation (suffix token), so every original near-dup
+cluster becomes a 10×-larger cluster — the boilerplate-mega-bucket
+regime that round 1's uncapped operators were weak in:
+
+* MinHash-LSH with the star-cap (`max_full_bucket=64`): a k-member
+  bucket emits min(C(k,2), k−1) pairs, so pair count and wall time
+  grow ~linearly where the uncapped form grows ~k²;
+* n-gram Jaccard verifying LSH candidates: work is O(candidates ·
+  max_shingles) — no shared-shingle self-join exists at all.
+
+Usage: python scripts/neardup_scale.py [sf_dir] [cpus] [mult]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from pyspark.sql import functions as F
+
+    from openie_backend_spark.operators import dedup as D
+    from openie_backend_spark.session import get_spark
+
+    spark = get_spark(app_name="neardup-scale", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.count()
+
+    def corpus(m):
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        return (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id"),
+                # perturb: replicas stay near-dups (≥97% shared
+                # shingles) but are not byte-identical
+                F.concat(F.col("text"), F.lit(" zz"), F.col("rep")).alias("text"),
+            )
+            .repartition(cpus * 3)
+        )
+
+    def measure(m):
+        c = corpus(m).cache()
+        n = c.count()
+        t0 = time.time()
+        lsh = D.minhash_lsh_pairs(c, num_hashes=8, bands=4)  # default cap=64
+        lsh_pairs = lsh.count()
+        lsh_sec = time.time() - t0
+        t0 = time.time()
+        jac = D.ngram_jaccard_pairs(c, threshold=0.8, candidates=lsh)
+        jac_pairs = jac.count()
+        jac_sec = time.time() - t0
+        c.unpersist()
+        return {
+            "mult": m, "docs": n,
+            "lsh_pairs": lsh_pairs, "lsh_sec": round(lsh_sec, 2),
+            "jac_pairs": jac_pairs, "jac_sec": round(jac_sec, 2),
+        }
+
+    # warm-up pass exercises codegen + python workers
+    measure(1)
+    r1 = measure(1)
+    r10 = measure(mult)
+
+    def ratio(a, b):
+        return round(b / max(a, 1e-9), 2)
+
+    growth = {
+        "docs": ratio(r1["docs"], r10["docs"]),
+        "lsh_pairs": ratio(r1["lsh_pairs"], r10["lsh_pairs"]),
+        "lsh_sec": ratio(r1["lsh_sec"], r10["lsh_sec"]),
+        "jac_pairs": ratio(r1["jac_pairs"], r10["jac_pairs"]),
+        "jac_sec": ratio(r1["jac_sec"], r10["jac_sec"]),
+        "quadratic_would_be": round(float(mult) ** 2, 1),
+    }
+    out = os.path.join(REPO, "BENCH", "NEARDUP.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as fh:
+        fh.write(f"""# BENCH/NEARDUP — pair-stage growth at {mult}× docs
+
+Corpus: {sf_dir} documents replicated with per-replica text
+perturbation — every near-dup cluster grows {mult}×, the boilerplate
+mega-bucket regime. Quadratic pair expansion would grow pair counts
+and time ~{mult * mult}×; the star-capped LSH (`max_full_bucket=64`)
+and the LSH-candidate-verified Jaccard grow ~linearly.
+
+| stage | {r1['docs']} docs | {r10['docs']} docs | growth | quadratic would be |
+|---|---|---|---|---|
+| MinHash-LSH pairs | {r1['lsh_pairs']} | {r10['lsh_pairs']} | {growth['lsh_pairs']}× | {mult * mult}× |
+| MinHash-LSH sec | {r1['lsh_sec']} | {r10['lsh_sec']} | {growth['lsh_sec']}× | — |
+| Jaccard(LSH-cand) pairs | {r1['jac_pairs']} | {r10['jac_pairs']} | {growth['jac_pairs']}× | {mult * mult}× |
+| Jaccard(LSH-cand) sec | {r1['jac_sec']} | {r10['jac_sec']} | {growth['jac_sec']}× | — |
+
+```json
+{json.dumps({"r1": r1, "r10": r10, "growth": growth}, indent=2)}
+```
+""")
+    print(json.dumps({"r1": r1, "r10": r10, "growth": growth, "out": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,10 +7,11 @@ Measurement protocol (VERDICT r1 #4: interleaved A/B pairs, median):
 * the input is the sf documents table replicated ``SCALE_MULT``-fold
   (deterministic: crossJoin with a range, url disambiguated by replica
   id) so the job is compute-bound rather than fixed-overhead-bound;
-* BOTH parallelism levels run as resident subprocesses (fresh JVMs,
-  warmed up once); the controller then alternates N→4N→N→4N… so each
-  efficiency PAIR is measured inside the same co-tenant-noise window —
-  sequential phases (round 1) let a load storm hit one phase only and
+* each measurement runs in a FRESH warmed JVM (a resident "idle"
+  Spark JVM measurably starves the other level's Python worker pool
+  on this box), and the controller alternates N→4N→N→4N… so each
+  efficiency PAIR is measured inside one co-tenant-noise window —
+  round 1's sequential phases let a load storm hit one phase only and
   produced 0.33–1.35 swings;
 * the headline is the MEDIAN of ≥5 per-pair efficiencies (not the max);
 * each level also times a quarter-size input, so the marginal
@@ -32,7 +33,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = """
-import json, sys, time
+import json, os, sys, time
 from pyspark.sql import functions as F
 from openie_backend_spark.session import get_spark
 from openie_backend_spark.operators.extract import extract_pages
@@ -42,27 +43,45 @@ from openie_backend_spark.operators.materialize import spo_table
 from openie_backend_spark.operators.dedup import minhash_lsh_pairs
 
 sf_dir, cpus, mult = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+shuffle_parts = int(sys.argv[4])
 mult_small = max(mult // 4, 1)
-spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus)
+# identical shuffle width at both levels: the measured job must be the
+# SAME physical work, only the executor count varies
+spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
+                  shuffle_partitions=shuffle_parts,
+                  extra_conf={"spark.driver.memory": "24g"})
 spark.sparkContext.setLogLevel("ERROR")
 
 docs = spark.read.parquet(sf_dir + "/documents.parquet")
 base_docs = docs.count()
 
-def replicated(m):
-    reps = spark.range(m).withColumnRenamed("id", "rep")
-    return (
-        docs.crossJoin(reps)
-        .select(
-            F.concat(F.lit("doc://"), F.col("doc_id"), F.lit("#"), F.col("rep")).alias("url"),
-            (F.col("doc_id") * m + F.col("rep")).alias("doc_id2"),
-            "text", "lang",
-        )
-        .repartition(cpus * 3)
-    )
+# The replicated corpus is MATERIALIZED to parquet once (untimed,
+# reused across measurements): the pipeline under test starts from a
+# table scan, as in production — round-2's first protocol generated
+# the corpus with an in-job crossJoin+repartition, and that 600MB
+# scaffold shuffle (not the pipeline) dominated the scaling loss.
+sf_name = os.path.basename(os.path.normpath(sf_dir))
+def corpus_path(m):
+    return f"/tmp/scaling_corpus_{sf_name}_x{m}_v2"
 
-big = replicated(mult)
-small = replicated(mult_small)
+def materialize(m):
+    path = corpus_path(m)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        reps = spark.range(m).withColumnRenamed("id", "rep")
+        (
+            docs.crossJoin(reps)
+            .select(
+                F.concat(F.lit("doc://"), F.col("doc_id"), F.lit("#"), F.col("rep")).alias("url"),
+                (F.col("doc_id") * m + F.col("rep")).alias("doc_id2"),
+                "text", "lang",
+            )
+            .repartition(256)
+            .write.mode("overwrite").parquet(path)
+        )
+    return spark.read.parquet(path)
+
+big = materialize(mult)
+small = materialize(mult_small)
 
 def kg(src):
     ex = instance_quality_filter(
@@ -81,63 +100,40 @@ def mh():
         distinct_text, num_hashes=8, bands=4, max_full_bucket=20
     ).count()
 
-# warm-up: same code paths (codegen, Python worker pool, page cache)
+# warm-up: codegen + Python worker pool on the real code path, and a
+# full scan of both inputs so the page cache is equally warm at every
+# measurement (parquet count() reads only footers)
+big.select(F.sum(F.length("text"))).collect()
+small.select(F.sum(F.length("text"))).collect()
 warm = big.limit(200).cache(); warm.count()
 ex = instance_quality_filter(extract_pages(warm, include_layers=False), min_conf=0.0)
 spo_table(group_extractions(ex)).count()
 warm.unpersist()
 
-print(json.dumps({"ready": True, "cpus": cpus, "base_docs": base_docs}), flush=True)
-
-for line in sys.stdin:
-    cmd = line.strip()
-    if cmd == "quit":
-        break
-    t0 = time.time()
-    if cmd == "big":
-        n = kg(big)
-    elif cmd == "small":
-        n = kg(small)
-    elif cmd == "mh":
-        n = mh()
-    else:
-        continue
-    print(json.dumps({"cmd": cmd, "sec": round(time.time() - t0, 2),
-                      "out": n}), flush=True)
+t0 = time.time(); triples = kg(big); big_sec = time.time() - t0
+t0 = time.time(); kg(small); small_sec = time.time() - t0
+mh_sec, pairs = None, None
+if len(sys.argv) > 5 and sys.argv[5] == "mh":
+    t0 = time.time(); pairs = mh(); mh_sec = round(time.time() - t0, 2)
+print(json.dumps({"cpus": cpus, "base_docs": base_docs,
+                  "big_sec": round(big_sec, 2), "small_sec": round(small_sec, 2),
+                  "triples": triples, "mh_sec": mh_sec, "pairs": pairs}), flush=True)
 """
 
 
-class Level:
-    def __init__(self, sf_dir: str, cpus: int, mult: int):
-        self.cpus = cpus
-        self.proc = subprocess.Popen(
-            [sys.executable, "-c", WORKER, sf_dir, str(cpus), str(mult)],
-            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
-            cwd=REPO, env=dict(os.environ, PYTHONPATH=REPO),
-        )
-        self.ready = json.loads(self._read())
-
-    def _read(self) -> str:
-        while True:
-            line = self.proc.stdout.readline()
-            if not line:
-                raise RuntimeError(f"worker local[{self.cpus}] died")
-            line = line.strip()
-            if line.startswith("{"):
-                return line
-
-    def run(self, cmd: str) -> dict:
-        self.proc.stdin.write(cmd + "\n")
-        self.proc.stdin.flush()
-        return json.loads(self._read())
-
-    def stop(self):
-        try:
-            self.proc.stdin.write("quit\n")
-            self.proc.stdin.flush()
-            self.proc.wait(timeout=60)
-        except Exception:
-            self.proc.kill()
+def run_level(sf_dir: str, cpus: int, mult: int, shuffle_parts: int,
+              with_mh: bool) -> dict:
+    args = [sys.executable, "-c", WORKER, sf_dir, str(cpus), str(mult),
+            str(shuffle_parts)]
+    if with_mh:
+        args.append("mh")
+    out = subprocess.run(
+        args, capture_output=True, text=True, timeout=5400, cwd=REPO,
+        env=dict(os.environ, PYTHONPATH=REPO),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -147,35 +143,40 @@ def main():
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 400
     n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 
-    lo = Level(sf_dir, n, mult)
-    hi = Level(sf_dir, 4 * n, mult)
-    base_docs = lo.ready["base_docs"]
-    n_docs = base_docs * mult
-    mult_small = max(mult // 4, 1)
-
+    # fresh JVM per measurement (a resident "idle" JVM measurably
+    # starves the other level's Python worker pool on this box),
+    # alternating N -> 4N inside each pair so co-tenant noise windows
+    # hit both levels of a pair roughly equally
     pairs = []
+    mh_lo = mh_hi = None
+    base_docs = n_docs = None
+    mult_small = max(mult // 4, 1)
+    shuffle_parts = 8 * n  # same width both levels (2x the 4N cores)
     for i in range(n_pairs):
-        a = lo.run("big"); a_s = lo.run("small")
-        b = hi.run("big"); b_s = hi.run("small")
-        raw = (n_docs / b["sec"]) / (4 * (n_docs / a["sec"]))
-        marg_lo = base_docs * (mult - mult_small) / max(a["sec"] - a_s["sec"], 1e-3)
-        marg_hi = base_docs * (mult - mult_small) / max(b["sec"] - b_s["sec"], 1e-3)
+        a = run_level(sf_dir, n, mult, shuffle_parts, with_mh=(i == 0))
+        b = run_level(sf_dir, 4 * n, mult, shuffle_parts, with_mh=(i == 0))
+        if base_docs is None:
+            base_docs = a["base_docs"]
+            n_docs = base_docs * mult
+        raw = a["big_sec"] / (4 * b["big_sec"])
+        marg_lo = base_docs * (mult - mult_small) / max(a["big_sec"] - a["small_sec"], 1e-3)
+        marg_hi = base_docs * (mult - mult_small) / max(b["big_sec"] - b["small_sec"], 1e-3)
         marg = marg_hi / (4 * marg_lo)
         pairs.append({
-            "n_sec": a["sec"], "n_small_sec": a_s["sec"],
-            "hi_sec": b["sec"], "hi_small_sec": b_s["sec"],
+            "n_sec": a["big_sec"], "n_small_sec": a["small_sec"],
+            "hi_sec": b["big_sec"], "hi_small_sec": b["small_sec"],
             "raw_eff": round(raw, 3), "marg_eff": round(marg, 3),
-            "triples": b["out"],
+            "triples": b["triples"],
         })
-        assert a["out"] == b["out"], "determinism: outputs differ across levels"
+        assert a["triples"] == b["triples"], "determinism: outputs differ across levels"
+        if i == 0:
+            mh_lo, mh_hi = a, b
+            assert a["pairs"] == b["pairs"]
         print(f"pair {i+1}/{n_pairs}: raw {raw:.3f} marg {marg:.3f} "
-              f"(N {a['sec']}s, 4N {b['sec']}s)", file=sys.stderr)
+              f"(N {a['big_sec']}s, 4N {b['big_sec']}s)", file=sys.stderr)
 
-    mh_lo = lo.run("mh"); mh_hi = hi.run("mh")
-    assert mh_lo["out"] == mh_hi["out"]
-    # eff = (docs/s at 4N) / (4 × docs/s at N) = lo_sec / (4 · hi_sec)
-    mh_eff = mh_lo["sec"] / mh_hi["sec"] / 4
-    lo.stop(); hi.stop()
+    # eff = (docs/s at 4N) / (4 x docs/s at N) = lo_sec / (4 * hi_sec)
+    mh_eff = mh_lo["mh_sec"] / mh_hi["mh_sec"] / 4
 
     raw_med = statistics.median(p["raw_eff"] for p in pairs)
     marg_med = statistics.median(p["marg_eff"] for p in pairs)
@@ -207,12 +208,12 @@ N→4N scaling efficiency raw = {raw_med:.3f}, marginal = {marg_med:.3f}
 
 Protocol: the SAME job (extract → F2 filter → group → SPO, the engine's
 headline pipeline) over {sf_dir} documents × {mult} replicas =
-{n_docs} docs, at local[{n}] (N) and local[{4 * n}] (4N). Both JVMs are
-resident and warmed; each pair measures N then 4N back-to-back inside
-one noise window, because this host is shared and sequential-phase
-protocols let a co-tenant load storm hit one phase only (round-1 runs
-swung 0.33–1.35). Median-of-pairs is the headline, per the round-1
-verdict; per-pair data below.
+{n_docs} docs, at local[{n}] (N) and local[{4 * n}] (4N). Each
+measurement runs in a fresh warmed JVM; each pair measures N then 4N
+back-to-back inside one noise window, because this host is shared and
+sequential-phase protocols let a co-tenant load storm hit one phase
+only (round-1 runs swung 0.33–1.35). Median-of-pairs is the headline,
+per the round-1 verdict; per-pair data below.
 
 | pair | N sec | 4N sec | raw eff | marginal eff |
 |---|---|---|---|---|
