@@ -452,6 +452,42 @@ def _kg_serving_query(spark, sf):
     )
 
 
+def _kg_notable_rels(spark, sf):
+    """T4: top-4 notable relations per typed arg (same mutated-linked
+    chain as kg_typed so the oracle SQL is shared)."""
+    from openie_backend_spark.operators import typer as _typer
+
+    linked, dims = _synth_linked(spark)
+    unlinked = linked.withColumn(
+        "arg1_entity",
+        F.when(F.col("arg1_norm") == "acme corp", F.lit(None)).otherwise(F.col("arg1_entity")),
+    ).withColumn(
+        "arg1_types",
+        F.when(F.col("arg1_norm") == "acme corp", F.array().cast("array<string>"))
+        .otherwise(F.col("arg1_types")),
+    )
+    ri = _typer.rel_infos(
+        unlinked, "arg1", dims.get("dim_entity_stoplist"), min_rel_weight=0.05
+    )
+    pairs = _typer.arg_relinfos(unlinked, ri, "arg1")
+    preds = _typer.type_predictions(pairs, min_share_score=2)
+    return preds.select(
+        "arg_norm",
+        F.concat_ws(",", "notable_rels").alias("notable_rels_csv"),
+        F.concat_ws(",", "top_similar_fbids").alias("top_fbids_csv"),
+    )
+
+
+def _kg_serving_budget(spark, sf):
+    from openie_backend_spark.operators.query import QuerySpec, fetch_groups
+
+    linked, _ = _synth_linked(spark)
+    # budget chosen so the 5%-tolerance cut bites at this corpus size
+    return fetch_groups(
+        linked, QuerySpec(), max_instances_total=60
+    ).select("arg1_norm", "rel_norm", "arg2_norm", "size")
+
+
 def _kg_extreme_filter(spark, sf):
     from openie_backend_spark.operators.filters import extreme_precision_filter
 
@@ -530,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_serving_query": _kg_serving_query,
         "kg_serving_query_or": _kg_serving_query_or,
         "kg_extreme_filter": _kg_extreme_filter,
+        "kg_serving_budget": _kg_serving_budget,
+        "kg_notable_rels": _kg_notable_rels,
         "kg_answer_projections": _kg_answer_projections,
         "kg_edges": _kg_edges,
         "kg_nary": _kg_nary,

@@ -341,6 +341,27 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                             THEN p.ptypes ELSE l.types1 END, ','), '') AS arg1_types_csv
             FROM lk2 l LEFT JOIN pred p ON p.arg_norm = l.arg1_norm
         """,
+        "kg_notable_rels": f"""
+            {_typed_sql(ext_synth, dims)},
+            nr AS (
+                SELECT arg_norm, list(rel_norm ORDER BY rn) AS rels FROM (
+                    SELECT a.arg_norm, r.rel_norm,
+                           row_number() OVER (PARTITION BY a.arg_norm
+                               ORDER BY r.weight DESC, r.rel_norm ASC) AS rn
+                    FROM args a JOIN relinfo r USING (rel_norm)
+                ) WHERE rn <= 4 GROUP BY 1
+            ),
+            tf AS (
+                SELECT arg_norm, list(fbid ORDER BY rk) AS fbids
+                FROM (SELECT * FROM top15 WHERE rk <= 5) GROUP BY 1
+            )
+            SELECT p.arg_norm,
+                   coalesce(array_to_string(n.rels, ','), '') AS notable_rels_csv,
+                   coalesce(array_to_string(t.fbids, ','), '') AS top_fbids_csv
+            FROM pred p
+            LEFT JOIN nr n USING (arg_norm)
+            LEFT JOIN tf t USING (arg_norm)
+        """,
         "kg_regroup_entity": f"""
             {_linked_sql(ext_synth, dims)},
             keyed AS (
@@ -387,6 +408,19 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             {_linked_sql(ext_synth, dims)}
             SELECT arg1_norm, rel_norm, arg2_norm, size FROM linked
             WHERE rel_norm = '{rel_q}' OR arg1_norm = '{arg1_q}'
+        """,
+        "kg_serving_budget": f"""
+            {_linked_sql(ext_synth, dims)},
+            ordered AS (
+                SELECT arg1_norm, rel_norm, arg2_norm, size,
+                       coalesce(sum(size) OVER (
+                           ORDER BY size DESC, arg1_norm, rel_norm, arg2_norm
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS consumed
+                FROM linked
+            )
+            SELECT arg1_norm, rel_norm, arg2_norm, size
+            FROM ordered WHERE consumed < 60 - (60 / 20)
         """,
         "kg_answer_projections": f"""
             {_linked_sql(ext_synth, dims)}

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openie_backend_spark.nlp import chunker, stemmer
@@ -76,17 +76,46 @@ class QuerySpec:
 
 
 def fetch_groups(
-    groups: DataFrame, spec: QuerySpec, max_instances_per_group: int | None = None
+    groups: DataFrame,
+    spec: QuerySpec,
+    max_instances_per_group: int | None = None,
+    max_instances_total: int | None = None,
 ) -> DataFrame:
-    """Biggest groups first under the result budget (T7/T8). The
-    reference additionally budgets instances per result set
-    (``ParallelExtractionGroupFetcher.scala:73-77``); here a per-group
-    truncation keeps payloads bounded without a driver-side loop."""
+    """Biggest groups first under the result budgets (T7/T8).
+
+    ``max_instances_total`` is the reference's result-set instance
+    budget with 5 % tolerance (``ExtractionGroupFetcher.scala:55-57,
+    141-161``: keep consuming results while the remaining instance
+    budget exceeds ``max/20``). Set-based form: a group is admitted iff
+    the instances consumed BEFORE it leave more than the tolerance —
+    a cumulative-sum window over the (size DESC, key ASC) result
+    order. The window is evaluated after the ``max_groups`` LIMIT, so
+    it runs over ≤ 750 rows — no global-sort scale concern. The
+    reference decrements budgets per Lucene sub-query; the cumulative
+    form is the order-equivalent declarative semantics.
+    ``max_instances_per_group`` additionally truncates payloads
+    (``ParallelExtractionGroupFetcher.scala:73-77``)."""
+    order = [F.desc("size")] + [
+        F.asc(c) for c in ("arg1_norm", "rel_norm", "arg2_norm")
+        if c in groups.columns
+    ]
     out = (
         groups.filter(spec.predicate())
-        .orderBy(F.desc("size"), *[F.asc(c) for c in ("arg1_norm", "rel_norm", "arg2_norm") if c in groups.columns])
+        .orderBy(*order)
         .limit(spec.max_groups)
     )
+    if max_instances_total is not None:
+        tolerance = max_instances_total // 20
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        out = (
+            out.withColumn("_consumed", F.coalesce(F.sum("size").over(w), F.lit(0)))
+            # reference: keep while remaining budget > tolerance, i.e.
+            # consumed-before < max − tolerance (strict)
+            .filter(F.col("_consumed") < max_instances_total - tolerance)
+            .drop("_consumed")
+        )
     if max_instances_per_group is not None and "instances" in groups.columns:
         out = out.withColumn(
             "instances", F.slice("instances", 1, max_instances_per_group)

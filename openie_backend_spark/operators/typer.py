@@ -46,6 +46,7 @@ MAX_ARGS_PER_RELINFO = 1000
 MAX_RELINFOS_READ_PER_ARG = 20000
 MAX_SIMILAR_ENTITIES = 15
 MAX_PREDICTED_TYPES = 5
+MAX_NOTABLE_RELS = 4    # UnlinkableEntityTyper.scala:225
 MIN_SHARE_SCORE = 10
 MIN_REL_WEIGHT = 0.10
 MIN_ARG_LENGTH = 4
@@ -75,6 +76,9 @@ PREDICTION_SCHEMA = StructType(
         ), False),
         StructField("total_entity_weight", DoubleType(), False),
         StructField("top_similar_fbids", ArrayType(StringType()), False),
+        # T4: top-4 notable relations for the arg, by descending
+        # RelInfo weight (UnlinkableEntityTyper.scala:223-229)
+        StructField("notable_rels", ArrayType(StringType()), False),
     ]
 )
 
@@ -198,14 +202,25 @@ def _predict_pandas(min_share_score: int):
         )[:MAX_PREDICTED_TYPES]
         if not preds:
             return pd.DataFrame(
-                columns=["arg_norm", "predicted_types", "total_entity_weight", "top_similar_fbids"]
+                columns=["arg_norm", "predicted_types", "total_entity_weight",
+                         "top_similar_fbids", "notable_rels"]
             )
+        # T4: getNotableRels — top-4 relations by weight (rels are
+        # already distinct per arg, so the reference's post-take dedup
+        # is a no-op); rel_norm breaks weight ties deterministically
+        notable = [
+            r for _, r in sorted(
+                zip(pdf["weight"], pdf["rel_norm"]),
+                key=lambda t: (-t[0], t[1]),
+            )[:MAX_NOTABLE_RELS]
+        ]
         return pd.DataFrame(
             {
                 "arg_norm": [arg],
                 "predicted_types": [[{"type": t, "share_score": c} for t, c in preds]],
                 "total_entity_weight": [round(total, 4)],
                 "top_similar_fbids": [[f for f, _ in top[:5]]],
+                "notable_rels": [notable],
             }
         )
 

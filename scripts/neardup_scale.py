@@ -78,6 +78,34 @@ def main():
     r1 = measure(1)
     r10 = measure(mult)
 
+    # star-cap demo: 100-member duplicate clusters (bucket size > 64)
+    # — the boilerplate regime. Same corpus, capped vs uncapped.
+    mega = (
+        docs.limit(500)
+        .crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz"), F.col("rep")).alias("text"),
+        )
+        .repartition(cpus * 3)
+        .cache()
+    )
+    mega_n = mega.count()
+    t0 = time.time()
+    capped_pairs = D.minhash_lsh_pairs(mega, num_hashes=8, bands=4).count()
+    capped_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    uncapped_pairs = D.minhash_lsh_pairs(
+        mega, num_hashes=8, bands=4, max_full_bucket=None
+    ).count()
+    uncapped_sec = round(time.time() - t0, 2)
+    mega.unpersist()
+    star = {
+        "docs": mega_n, "capped_pairs": capped_pairs, "capped_sec": capped_sec,
+        "uncapped_pairs": uncapped_pairs, "uncapped_sec": uncapped_sec,
+        "pair_reduction": round(uncapped_pairs / max(capped_pairs, 1), 1),
+    }
+
     def ratio(a, b):
         return round(b / max(a, 1e-9), 2)
 
@@ -92,26 +120,47 @@ def main():
     out = os.path.join(REPO, "BENCH", "NEARDUP.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
-        fh.write(f"""# BENCH/NEARDUP — pair-stage growth at {mult}× docs
+        fh.write(f"""# BENCH/NEARDUP — pair-stage growth evidence
 
-Corpus: {sf_dir} documents replicated with per-replica text
-perturbation — every near-dup cluster grows {mult}×, the boilerplate
-mega-bucket regime. Quadratic pair expansion would grow pair counts
-and time ~{mult * mult}×; the star-capped LSH (`max_full_bucket=64`)
-and the LSH-candidate-verified Jaccard grow ~linearly.
+## {mult}× docs: wall time stays ~linear
 
-| stage | {r1['docs']} docs | {r10['docs']} docs | growth | quadratic would be |
-|---|---|---|---|---|
-| MinHash-LSH pairs | {r1['lsh_pairs']} | {r10['lsh_pairs']} | {growth['lsh_pairs']}× | {mult * mult}× |
-| MinHash-LSH sec | {r1['lsh_sec']} | {r10['lsh_sec']} | {growth['lsh_sec']}× | — |
-| Jaccard(LSH-cand) pairs | {r1['jac_pairs']} | {r10['jac_pairs']} | {growth['jac_pairs']}× | {mult * mult}× |
-| Jaccard(LSH-cand) sec | {r1['jac_sec']} | {r10['jac_sec']} | {growth['jac_sec']}× | — |
+Corpus: {sf_dir} documents replicated {mult}× with per-replica text
+perturbation — every replica is a near-duplicate of its source, so the
+TRUE near-dup pair cardinality itself grows ~quadratically in cluster
+size by construction (that is what the emitted-pairs growth reflects,
+not an algorithmic blow-up). The scale claim is the TIME rows: {mult}×
+more docs carrying ~{growth['lsh_pairs']}× more true pairs cost only
+{growth['lsh_sec']}× (LSH) / {growth['jac_sec']}× (Jaccard) more wall
+time — candidate generation is equality-join + in-bucket expansion,
+never an all-pairs or shared-shingle self-join.
+
+| stage | {r1['docs']} docs | {r10['docs']} docs | growth |
+|---|---|---|---|
+| MinHash-LSH pairs | {r1['lsh_pairs']} | {r10['lsh_pairs']} | {growth['lsh_pairs']}× |
+| MinHash-LSH sec | {r1['lsh_sec']} | {r10['lsh_sec']} | **{growth['lsh_sec']}×** |
+| Jaccard(LSH-cand) pairs | {r1['jac_pairs']} | {r10['jac_pairs']} | {growth['jac_pairs']}× |
+| Jaccard(LSH-cand) sec | {r1['jac_sec']} | {r10['jac_sec']} | **{growth['jac_sec']}×** |
+
+## Star-cap: the boilerplate mega-bucket regime
+
+{star['docs']} docs in 100-member duplicate clusters (bucket size 100
+> `max_full_bucket=64` → representative→member star pairs instead of
+all pairs; connectivity for dup-cluster labeling is preserved):
+
+| variant | pairs | sec |
+|---|---|---|
+| capped (default 64) | {star['capped_pairs']} | {star['capped_sec']} |
+| uncapped | {star['uncapped_pairs']} | {star['uncapped_sec']} |
+
+→ **{star['pair_reduction']}× fewer pairs emitted**. At web scale a
+boilerplate bucket has 10^6 members: star emits 10^6 pairs, all-pairs
+would emit 5·10^11.
 
 ```json
-{json.dumps({"r1": r1, "r10": r10, "growth": growth}, indent=2)}
+{json.dumps({"r1": r1, "r10": r10, "growth": growth, "star": star}, indent=2)}
 ```
 """)
-    print(json.dumps({"r1": r1, "r10": r10, "growth": growth, "out": out}))
+    print(json.dumps({"growth": growth, "star": star, "out": out}))
 
 
 if __name__ == "__main__":
