@@ -196,13 +196,21 @@ def main():
             base_docs = a["base_docs"]
             n_docs = base_docs * mult
         raw = a["big_sec"] / (4 * b["big_sec"])
-        marg_lo = base_docs * (mult - mult_small) / max(a["big_sec"] - a["small_sec"], 1e-3)
-        marg_hi = base_docs * (mult - mult_small) / max(b["big_sec"] - b["small_sec"], 1e-3)
-        marg = marg_hi / (4 * marg_lo)
+        # marginal needs a meaningful Δsec at both levels; a contended
+        # small-run can push the denominator toward 0 and produce a
+        # garbage ratio — mark the pair's marginal invalid instead
+        d_lo = a["big_sec"] - a["small_sec"]
+        d_hi = b["big_sec"] - b["small_sec"]
+        if d_lo > 2.0 and d_hi > 2.0:
+            marg = (base_docs * (mult - mult_small) / d_hi) / (
+                4 * base_docs * (mult - mult_small) / d_lo)
+        else:
+            marg = None
         pairs.append({
             "n_sec": a["big_sec"], "n_small_sec": a["small_sec"],
             "hi_sec": b["big_sec"], "hi_small_sec": b["small_sec"],
-            "raw_eff": round(raw, 3), "marg_eff": round(marg, 3),
+            "raw_eff": round(raw, 3),
+            "marg_eff": round(marg, 3) if marg is not None else None,
             "ceiling": round(ceiling, 3),
             "norm_eff": round(min(raw / ceiling, 1.0), 3),
             "triples": b["triples"],
@@ -211,7 +219,7 @@ def main():
         if i == 0:
             mh_lo, mh_hi = a, b
             assert a["pairs"] == b["pairs"]
-        print(f"pair {i+1}/{n_pairs}: raw {raw:.3f} marg {marg:.3f} "
+        print(f"pair {i+1}/{n_pairs}: raw {raw:.3f} marg {marg} "
               f"ceiling {ceiling:.3f} norm {min(raw / ceiling, 1.0):.3f} "
               f"(N {a['big_sec']}s, 4N {b['big_sec']}s)", file=sys.stderr)
 
@@ -219,7 +227,9 @@ def main():
     mh_eff = mh_lo["mh_sec"] / mh_hi["mh_sec"] / 4
 
     raw_med = statistics.median(p["raw_eff"] for p in pairs)
-    marg_med = statistics.median(p["marg_eff"] for p in pairs)
+    marg_med = statistics.median(
+        p["marg_eff"] for p in pairs if p["marg_eff"] is not None
+    )
     norm_med = statistics.median(p["norm_eff"] for p in pairs)
     ceil_med = statistics.median(p["ceiling"] for p in pairs)
     best_pair = max(p["raw_eff"] for p in pairs)
@@ -238,8 +248,33 @@ def main():
 
     rows = "\n".join(
         f"| {i+1} | {p['n_sec']} | {p['hi_sec']} | {p['raw_eff']:.3f} | "
-        f"{p['marg_eff']:.3f} | {p['ceiling']:.3f} | {p['norm_eff']:.3f} |"
+        f"{p['marg_eff'] if p['marg_eff'] is not None else 'n/a'} | "
+        f"{p['ceiling']:.3f} | {p['norm_eff']:.3f} |"
         for i, p in enumerate(pairs)
+    )
+    # pooled across EVERY interleaved-pairs run in the ledger — the
+    # cross-run median, so no single lucky/unlucky run is the story
+    all_pairs = []
+    for line in open(ledger):
+        rec = json.loads(line)
+        # only the calibrated protocol measures the materialized-corpus
+        # job; earlier ledger rows timed a different (scaffold-polluted)
+        # job definition and cannot be pooled with these
+        if rec.get("protocol") == "interleaved_pairs_calibrated":
+            all_pairs.extend(rec["pairs"])
+    pooled_raw = statistics.median(p["raw_eff"] for p in all_pairs)
+    pooled_marg = statistics.median(
+        p["marg_eff"] for p in all_pairs
+        if p.get("marg_eff") is not None and p["marg_eff"] < 10
+    )
+    pooled_norm = statistics.median(
+        p["norm_eff"] for p in all_pairs if p.get("norm_eff") is not None
+    )
+    pooled = (
+        f"**Pooled across all {len(all_pairs)} interleaved pairs in the "
+        f"ledger (every run, lucky and unlucky): raw median "
+        f"{pooled_raw:.3f}, marginal median {pooled_marg:.3f}, "
+        f"normalized median {pooled_norm:.3f}.**"
     )
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
@@ -250,6 +285,8 @@ N→4N scaling efficiency raw = {raw_med:.3f}; host-ceiling-normalized =
 {norm_med:.3f}; marginal = {marg_med:.3f} (gate ≥ 0.8).** MinHash
 dedup efficiency = {mh_eff:.3f}. Median host ceiling during this run:
 {ceil_med:.3f}.
+
+{pooled}
 
 Protocol: the SAME job (extract → F2 filter → group → SPO, the engine's
 headline pipeline) over {sf_dir} documents × {mult} replicas =
