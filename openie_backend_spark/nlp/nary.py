@@ -114,4 +114,34 @@ def relnoun_extract(tokens, pos, chunks) -> list[RelnounExtraction]:
                             right, f"be {tokens[i + 1].lower()} of", left
                         )
                     )
+    # pattern C (appositive-of, relnoun's appositive family):
+    # [Person NP] , (DT)? [role] of [Org NP] (,|.)
+    # "Bob Smith , CEO of Initech , resigned" →
+    # (Bob Smith, be ceo of, Initech)
+    for i in range(1, n - 3):
+        if tokens[i] != ",":
+            continue
+        left = next(((s, e) for s, e in nps if e == i), None)
+        if left is None:
+            continue
+        j = i + 1
+        if j < n and pos[j] == "DT":
+            j += 1
+        if not (j < n and tokens[j].lower() in RELATIONAL_NOUNS
+                and pos[j].startswith("NN")):
+            continue
+        if not (j + 1 < n and tokens[j + 1].lower() == "of"):
+            continue
+        # the org NP either starts after "of", or the chunker merged
+        # "role of Org" into one NP (of tagged IN but chunked I-NP)
+        right = next(((s, e) for s, e in nps if s == j + 2), None)
+        if right is None:
+            merged = next(((s, e) for s, e in nps if s <= j and e > j + 2), None)
+            if merged is not None:
+                right = (j + 2, merged[1])
+        if right is None:
+            continue
+        out.append(
+            RelnounExtraction(left, f"be {tokens[j].lower()} of", right)
+        )
     return out

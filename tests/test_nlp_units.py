@@ -117,3 +117,24 @@ def test_confidence_distractors_below_gate():
         reverb_confidence(toks, tags, chks, e.arg1, e.rel, e.arg2) > 0.9
         for e in ex
     )
+
+
+def test_relnoun_appositive_of():
+    """Relnoun pattern C: '[Person] , (the)? [role] of [Org] ,' — both
+    the split-NP and the chunker-merged 'role of Org' NP forms."""
+    from openie_backend_spark.nlp import nary
+
+    cases = [
+        ("Bob Smith , CEO of Initech , resigned .",
+         ("Bob Smith", "be ceo of", "Initech")),
+        ("Grace Hopper , the founder of Hooli , spoke yesterday .",
+         ("Grace Hopper", "be founder of", "Hooli")),
+    ]
+    for s, want in cases:
+        toks, tags, chks = chunker.chunk_sentence(s)
+        got = [
+            (" ".join(toks[r.arg1[0]:r.arg1[1]]), r.rel_text,
+             " ".join(toks[r.arg2[0]:r.arg2[1]]))
+            for r in nary.relnoun_extract(toks, tags, chks)
+        ]
+        assert want in got, f"{s} -> {got}"
