@@ -360,19 +360,15 @@ def _mm_features(spark, sf):
 # ---- reference-pipeline operators over the synthetic corpus (rows-only:
 # the extraction UDF is not SQL-expressible; the driver records counts) ----
 
-_SYNTH_CACHE = "/tmp/openie_synth_cache_v1"
-
-
 def _synth(spark):
     import glob as _glob
     from openie_backend_spark import synth as _synth_mod
 
-    if not os.path.exists(os.path.join(_SYNTH_CACHE, "pages.parquet")):
-        _synth_mod.write_corpus(_SYNTH_CACHE, n_pages=150)
-    pages = spark.read.parquet(os.path.join(_SYNTH_CACHE, "pages.parquet"))
+    cache = _synth_mod.ensure_corpus()
+    pages = spark.read.parquet(os.path.join(cache, "pages.parquet"))
     dims = {
         os.path.basename(f)[:-8]: spark.read.parquet(f)
-        for f in _glob.glob(os.path.join(_SYNTH_CACHE, "dim_*.parquet"))
+        for f in _glob.glob(os.path.join(cache, "dim_*.parquet"))
     }
     return pages, dims
 

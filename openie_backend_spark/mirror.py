@@ -27,8 +27,8 @@ import os
 
 import pandas as pd
 
-_SYNTH_PAGES = 150  # must match __spark_entry__._synth
-SYNTH_CACHE = "/tmp/openie_synth_cache_v1"
+# Corpus cache is owned by synth.py (source-hash + n_pages keyed dir,
+# race-safe): mirror and __spark_entry__ share synth.ensure_corpus().
 
 _VERSIONED_SOURCES = [
     "nlp/chunker.py", "nlp/reverb.py", "nlp/stemmer.py", "nlp/nary.py",
@@ -133,8 +133,7 @@ def ensure(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
     d = cache_dir()
     os.makedirs(d, exist_ok=True)
-    if not os.path.exists(os.path.join(SYNTH_CACHE, "pages.parquet")):
-        synth.write_corpus(SYNTH_CACHE, n_pages=_SYNTH_PAGES)
+    synth_cache = synth.ensure_corpus()
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     paths = {
@@ -143,17 +142,17 @@ def ensure(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "inst_dedup": os.path.join(d, "inst_dedup_synth.parquet"),
         "nary_synth": os.path.join(d, "nary_synth.parquet"),
         "mm_features": os.path.join(d, "mm_features.parquet"),
-        "synth_dir": SYNTH_CACHE,
+        "synth_dir": synth_cache,
     }
     if not os.path.exists(paths["ext_docs"]):
         extractions_pdf(_docs_as_pages(sf_dir)).to_parquet(paths["ext_docs"], index=False)
     if not (os.path.exists(paths["ext_synth"]) and os.path.exists(paths["inst_dedup"])):
-        pages = pd.read_parquet(os.path.join(SYNTH_CACHE, "pages.parquet"))
+        pages = pd.read_parquet(os.path.join(synth_cache, "pages.parquet"))
         ext = extractions_pdf(pages)
         ext.to_parquet(paths["ext_synth"], index=False)
         instance_dedup_pdf(ext).to_parquet(paths["inst_dedup"], index=False)
     if not os.path.exists(paths["nary_synth"]):
-        pages = pd.read_parquet(os.path.join(SYNTH_CACHE, "pages.parquet"))
+        pages = pd.read_parquet(os.path.join(synth_cache, "pages.parquet"))
         nary_pdf(pages).to_parquet(paths["nary_synth"], index=False)
     if not os.path.exists(paths["mm_features"]):
         mm_features_pdf().to_parquet(paths["mm_features"], index=False)

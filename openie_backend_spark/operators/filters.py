@@ -28,10 +28,14 @@ PRONOUNS = (
     "us", "me", "this", "that", "these", "those",
 )
 # F4 blacklists (ScoobiReVerbGroupExtremeFilter.scala:81-84). The
-# reference checks MorphaStemmer.lemmatize(token) against these sets;
-# lemmatization happens in Python here, so the JVM filter expands the
-# sets to their surface inflections instead (exact for these closed
-# classes, no Python in the hot path).
+# reference checks MorphaStemmer.lemmatize(token) against the literal
+# set {"said","have","is"} — with standard Morpha lemmas ('said'→'say',
+# 'is'→'be') only have-forms can actually match, so the reference as
+# written blocks less than it evidently intends. Like the
+# _definite_noun note below, we implement the evident INTENT: the JVM
+# filter expands say/have/be to their surface inflections (no Python in
+# the hot path), deliberately blocking strictly more than the
+# reference's literal behavior.
 EXTREME_STOP_RELS = (
     "said", "say", "says", "saying",
     "have", "has", "had", "having",

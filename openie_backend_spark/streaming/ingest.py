@@ -8,9 +8,19 @@ delete-merge-readds Lucene documents per group
 Streaming over a landing directory with ``Trigger.AvailableNow`` (one
 idempotent catch-up batch per invocation — the streaming equivalent of
 the cron) and a ``foreachBatch`` MERGE into the groups table. With an
-Iceberg catalog the merge is ``MERGE INTO``; on plain parquet we
-emulate it as full-outer coalesce + atomic directory swap, which keeps
-the same semantics (idempotent, resumable via the checkpoint dir).
+Iceberg catalog the merge is a transactional ``MERGE INTO``; on plain
+parquet we emulate it with per-bucket dynamic partition overwrite
+(only the hash buckets a batch touches are rewritten).
+
+Failure semantics of the parquet emulation (weaker than Iceberg, by
+construction): foreachBatch is at-least-once, and ``merge_groups``
+sums sizes, so a replay after a successful write but failed checkpoint
+commit would double-merge — a ``_batch_<id>.done`` marker per table is
+written after each successful merge and replayed batch ids are
+skipped. A crash in the MIDDLE of the multi-bucket write can still
+leave a subset of touched buckets rewritten (no cross-bucket atomicity
+on plain parquet); the real fix at cluster scale is the Iceberg
+catalog, where the whole merge is one snapshot commit.
 
 The reference's probabilistic re-link schedule ("relink when
 size>1 && (size<5 || size%2==0)", ``IndexModifier.scala:89``) becomes
@@ -106,6 +116,14 @@ def run_incremental(
     streaming test asserts."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # At-least-once replay guard: foreachBatch re-delivers a batch if
+        # the write succeeded but the checkpoint commit did not; merging
+        # twice would double instance lists and sizes. Spark's parquet
+        # reader ignores underscore-prefixed files, and dynamic partition
+        # overwrite only replaces bucket=NN dirs, so markers persist.
+        marker = os.path.join(groups_dir, f"_batch_{batch_id}.done")
+        if os.path.exists(marker):
+            return
         incoming = (
             group_extractions(extract_pages(batch_df), corpus="stream")
             .withColumn("bucket", bucket_col(n_buckets))
@@ -130,6 +148,8 @@ def run_incremental(
             .partitionBy("bucket")
             .parquet(groups_dir)
         )
+        with open(marker, "w") as fh:
+            fh.write("merged\n")
 
     stream = (
         spark.readStream.schema(pages_schema)

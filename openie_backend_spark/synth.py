@@ -209,6 +209,37 @@ def expected_triples(pages: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# Single shared page count for the cached oracle/entry corpus — the
+# mirror oracles and __spark_entry__ must read the SAME corpus.
+DEFAULT_N_PAGES = 150
+
+
+def corpus_cache_dir(n_pages: int = DEFAULT_N_PAGES) -> str:
+    """Cache directory name keyed on this module's source hash and the
+    page count, so editing the generator invalidates the cached corpus
+    (stale /tmp pages were an ADVICE r2 finding)."""
+    with open(os.path.abspath(__file__), "rb") as f:
+        h = hashlib.md5(f.read()).hexdigest()[:10]
+    return f"/tmp/openie_synth_cache_{h}_n{n_pages}"
+
+
+def ensure_corpus(n_pages: int = DEFAULT_N_PAGES) -> str:
+    """Idempotent, race-safe corpus materialization: generate into a
+    pid-suffixed temp dir, then atomically rename into place (the loser
+    of a concurrent first-run race just discards its copy)."""
+    import shutil
+
+    d = corpus_cache_dir(n_pages)
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        tmp = f"{d}.tmp.{os.getpid()}"
+        write_corpus(tmp, n_pages=n_pages)
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
 def write_corpus(out_dir: str, n_pages: int = 200, seed: int = SEED) -> None:
     os.makedirs(out_dir, exist_ok=True)
     pages = generate_pages(n_pages, seed)

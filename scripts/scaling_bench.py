@@ -226,12 +226,19 @@ def main():
     # eff = (docs/s at 4N) / (4 x docs/s at N) = lo_sec / (4 * hi_sec)
     mh_eff = mh_lo["mh_sec"] / mh_hi["mh_sec"] / 4
 
-    raw_med = statistics.median(p["raw_eff"] for p in pairs)
-    marg_med = statistics.median(
-        p["marg_eff"] for p in pairs if p["marg_eff"] is not None
-    )
-    norm_med = statistics.median(p["norm_eff"] for p in pairs)
-    ceil_med = statistics.median(p["ceiling"] for p in pairs)
+    def _med(vals):
+        vals = [v for v in vals if v is not None]
+        return statistics.median(vals) if vals else None
+
+    def _round(v, nd=3):
+        return round(v, nd) if v is not None else None
+
+    raw_med = _med(p["raw_eff"] for p in pairs)
+    # marg_eff can be None for EVERY pair (delta-sec too small at low
+    # mult) — don't lose the whole run's report to a StatisticsError
+    marg_med = _med(p["marg_eff"] for p in pairs)
+    norm_med = _med(p["norm_eff"] for p in pairs)
+    ceil_med = _med(p["ceiling"] for p in pairs)
     best_pair = max(p["raw_eff"] for p in pairs)
     kg_tph = max(p["triples"] / p["hi_sec"] * 3600 for p in pairs)
     hi_docs_per_sec = max(n_docs / p["hi_sec"] for p in pairs)
@@ -241,8 +248,8 @@ def main():
     with open(ledger, "a") as fh:
         fh.write(json.dumps({
             "protocol": "interleaved_pairs_calibrated", "mult": mult, "N": n,
-            "raw_median": round(raw_med, 3), "marg_median": round(marg_med, 3),
-            "norm_median": round(norm_med, 3), "ceiling_median": round(ceil_med, 3),
+            "raw_median": _round(raw_med), "marg_median": _round(marg_med),
+            "norm_median": _round(norm_med), "ceiling_median": _round(ceil_med),
             "mh_eff": round(mh_eff, 3), "pairs": pairs,
         }) + "\n")
 
@@ -262,29 +269,31 @@ def main():
         # job definition and cannot be pooled with these
         if rec.get("protocol") == "interleaved_pairs_calibrated":
             all_pairs.extend(rec["pairs"])
-    pooled_raw = statistics.median(p["raw_eff"] for p in all_pairs)
-    pooled_marg = statistics.median(
-        p["marg_eff"] for p in all_pairs
-        if p.get("marg_eff") is not None and p["marg_eff"] < 10
+    pooled_raw = _med(p.get("raw_eff") for p in all_pairs)
+    pooled_marg = _med(
+        p.get("marg_eff") for p in all_pairs
+        if p.get("marg_eff") is None or p["marg_eff"] < 10
     )
-    pooled_norm = statistics.median(
-        p["norm_eff"] for p in all_pairs if p.get("norm_eff") is not None
-    )
+    pooled_norm = _med(p.get("norm_eff") for p in all_pairs)
+
+    def _fmt(v):
+        return f"{v:.3f}" if v is not None else "n/a"
+
     pooled = (
         f"**Pooled across all {len(all_pairs)} interleaved pairs in the "
         f"ledger (every run, lucky and unlucky): raw median "
-        f"{pooled_raw:.3f}, marginal median {pooled_marg:.3f}, "
-        f"normalized median {pooled_norm:.3f}.**"
+        f"{_fmt(pooled_raw)}, marginal median {_fmt(pooled_marg)}, "
+        f"normalized median {_fmt(pooled_norm)}.**"
     )
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
         fh.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 **Headline (median of {n_pairs} interleaved A/B pairs): KG pipeline
-N→4N scaling efficiency raw = {raw_med:.3f}; host-ceiling-normalized =
-{norm_med:.3f}; marginal = {marg_med:.3f} (gate ≥ 0.8).** MinHash
+N→4N scaling efficiency raw = {_fmt(raw_med)}; host-ceiling-normalized =
+{_fmt(norm_med)}; marginal = {_fmt(marg_med)} (gate ≥ 0.8).** MinHash
 dedup efficiency = {mh_eff:.3f}. Median host ceiling during this run:
-{ceil_med:.3f}.
+{_fmt(ceil_med)}.
 
 {pooled}
 
