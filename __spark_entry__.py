@@ -504,6 +504,81 @@ def _kg_serving_query_or(spark, sf):
     )
 
 
+def _kg_regroup_merge(spark, sf):
+    """G2 on the real chain: extractions split by url hash into two
+    group tables, merged back with regroup_merge — sizes, instance
+    counts and the min provenance url must equal single-pass grouping."""
+    from openie_backend_spark.operators.group import group_extractions as _ge
+    from openie_backend_spark.operators.group import regroup_merge
+
+    pages, _ = _synth(spark)
+    ex = instance_quality_filter(
+        extract_pages(pages, include_layers=False), min_conf=0.0)
+    half_a = ex.filter(F.substring(F.md5("url"), 1, 1) < "8")
+    half_b = ex.filter(F.substring(F.md5("url"), 1, 1) >= "8")
+    merged = regroup_merge(_ge(half_a), _ge(half_b))
+    return merged.select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size",
+        F.size("instances").cast("long").alias("inst_cnt"),
+        F.array_min(F.transform("instances", lambda i: i["url"])).alias("min_url"),
+    )
+
+
+def _kg_freq_filter(spark, sf):
+    """F3 (≥2 instances) + F5 (size band) on the real chain."""
+    from openie_backend_spark.operators.filters import (
+        frequency_filter, group_filter)
+
+    pages, _ = _synth(spark)
+    ex = instance_quality_filter(
+        extract_pages(pages, include_layers=False), min_conf=0.0)
+    g = frequency_filter(
+        group_filter(group_extractions(ex), min_instances=2),
+        min_freq=2, max_freq=4,
+    )
+    return g.select("arg1_norm", "rel_norm", "arg2_norm", "size")
+
+
+def _kg_fracture(spark, sf):
+    """G11: explode instances and re-group on a recomputed key (rel
+    only) — heals normalization drift (ExtractionGroup.scala:69-86)."""
+    from openie_backend_spark.operators.materialize import fracture
+
+    pages, _ = _synth(spark)
+    ex = instance_quality_filter(
+        extract_pages(pages, include_layers=False), min_conf=0.0)
+    g = fracture(group_extractions(ex), key_cols=["rel_norm"])
+    return g.select(
+        "rel_norm", "size",
+        F.array_min(F.transform("instances", lambda i: i["url"])).alias("min_url"),
+    )
+
+
+def _kg_frontend_regroup(spark, sf):
+    """G3 stage 2 + M6: regroup linked groups by the FRONTEND key,
+    merging unlinked groups into at most one linked group per key
+    (ReVerbExtractionGroup.scala:139-168)."""
+    from openie_backend_spark.operators.regroup import frontend_regroup
+
+    linked, _ = _synth_linked(spark)
+    return frontend_regroup(linked).select(
+        "arg1_frontend", "rel_frontend", "arg2_frontend",
+        "size", "merged_groups", "arg1_fbid",
+    )
+
+
+def _kg_serving_query_multi(spark, sf):
+    """T8 with per-field phrase lists: OR within the rel field
+    (QuerySpec.scala:81-134 SHOULD phrase clauses)."""
+    from openie_backend_spark.operators.query import QuerySpec, fetch_groups
+
+    linked, _ = _synth_linked(spark)
+    spec = QuerySpec(rel=["acquired", "invented"])
+    return fetch_groups(linked, spec).select(
+        "arg1_norm", "rel_norm", "arg2_norm", "size"
+    )
+
+
 def _kg_answer_projections(spark, sf):
     from openie_backend_spark.operators.materialize import answer_projections
 
@@ -561,6 +636,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instance_dedup": _kg_instance_dedup,
         "kg_serving_query": _kg_serving_query,
         "kg_serving_query_or": _kg_serving_query_or,
+        "kg_serving_query_multi": _kg_serving_query_multi,
+        "kg_regroup_merge": _kg_regroup_merge,
+        "kg_freq_filter": _kg_freq_filter,
+        "kg_fracture": _kg_fracture,
+        "kg_frontend_regroup": _kg_frontend_regroup,
         "kg_extreme_filter": _kg_extreme_filter,
         "kg_serving_budget": _kg_serving_budget,
         "kg_notable_rels": _kg_notable_rels,

@@ -70,13 +70,15 @@ def _groups_ctes(ext_path: str, with_heads: bool) -> str:
     """flt → ded (instance-set dedup) → grp (+ top, the cap-window
     leader carrying heads and the context token bag)."""
     inst = _INST_SLIM + (
-        ", tokens, pos_tags, arg1_head, arg2_head" if with_heads else ""
+        ", tokens, pos_tags, arg1_head, arg2_head,"
+        " arg1_frontend, rel_frontend, arg2_frontend" if with_heads else ""
     )
     top = ""
     if with_heads:
         top = f""",
     top AS (
         SELECT arg1_norm, rel_norm, arg2_norm, arg1_head, arg2_head,
+               arg1_frontend, rel_frontend, arg2_frontend,
                list_transform(tokens, t -> lower(t)) AS ctx
         FROM (
             SELECT *, row_number() OVER (
@@ -109,9 +111,20 @@ def _cand_ctes(dims: str) -> str:
           ON ty.fbid = t.fbid
         WHERE a.cprob >= 0.5 AND a."count" >= 500
     ),
+    idf AS (
+        SELECT term,
+               ln((SELECT count(DISTINCT fbid)
+                   FROM read_parquet('{dims}/dim_context_terms.parquet')) * 1.0
+                  / count(DISTINCT fbid)) AS idf
+        FROM read_parquet('{dims}/dim_context_terms.parquet') GROUP BY term
+    ),
+    ctxw AS (
+        SELECT c.fbid, c.term, c.weight * i.idf AS weight
+        FROM read_parquet('{dims}/dim_context_terms.parquet') c
+        JOIN idf i USING (term)
+    ),
     ctxt AS (
-        SELECT fbid, sum(weight) AS ctx_total
-        FROM read_parquet('{dims}/dim_context_terms.parquet') GROUP BY 1
+        SELECT fbid, sum(weight) AS ctx_total FROM ctxw GROUP BY 1
     )"""
 
 
@@ -128,7 +141,7 @@ def _link_side_ctes(side: str, dims: str) -> str:
         SELECT s.arg1_norm, s.rel_norm, s.arg2_norm, s.shrink_idx,
                c.title, c.fbid, c.types, c.inlinks, c.cprob,
                coalesce((SELECT sum(w.weight)
-                         FROM read_parquet('{dims}/dim_context_terms.parquet') w
+                         FROM ctxw w
                          WHERE w.fbid = c.fbid AND list_contains(s.ctx, w.term)),
                         0.0) AS matched,
                coalesce(ct.ctx_total, 0.0) AS ctx_total
@@ -261,6 +274,7 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     node1 = "'n:' || substr(sha256(arg1_norm), 1, 16)"
     node2 = "'n:' || substr(sha256(arg2_norm), 1, 16)"
     rel_q = normalize_query_text("acquired")
+    rel_q2 = normalize_query_text("invented")
     arg1_q = normalize_query_text("Acme Corp")
 
     # F4 per-instance extreme-precision filter (mirror of
@@ -408,6 +422,57 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             {_linked_sql(ext_synth, dims)}
             SELECT arg1_norm, rel_norm, arg2_norm, size FROM linked
             WHERE rel_norm = '{rel_q}' OR arg1_norm = '{arg1_q}'
+        """,
+        "kg_serving_query_multi": f"""
+            {_linked_sql(ext_synth, dims)}
+            SELECT arg1_norm, rel_norm, arg2_norm, size FROM linked
+            WHERE rel_norm IN ('{rel_q}', '{rel_q2}')
+        """,
+        "kg_regroup_merge": f"""
+            WITH {_groups_ctes(ext_synth, with_heads=False)}
+            SELECT arg1_norm, rel_norm, arg2_norm,
+                   count(*) AS size, count(*) AS inst_cnt,
+                   min(url) AS min_url
+            FROM ded GROUP BY 1, 2, 3
+        """,
+        "kg_freq_filter": f"""
+            WITH {_groups_ctes(ext_synth, with_heads=False)}
+            SELECT arg1_norm, rel_norm, arg2_norm, size FROM grp
+            WHERE size >= 2 AND size BETWEEN 2 AND 4
+        """,
+        "kg_fracture": f"""
+            WITH {_groups_ctes(ext_synth, with_heads=False)}
+            SELECT rel_norm, count(*) AS size, min(url) AS min_url
+            FROM ded GROUP BY 1
+        """,
+        "kg_frontend_regroup": f"""
+            {_linked_sql(ext_synth, dims)},
+            fr AS (
+                SELECT t.arg1_frontend, t.rel_frontend, t.arg2_frontend,
+                       l.size, l.arg1_fbid, l.arg2_fbid
+                FROM linked l
+                JOIN top t USING (arg1_norm, rel_norm, arg2_norm)
+            ),
+            fl AS (
+                SELECT *,
+                       (arg1_fbid IS NOT NULL OR arg2_fbid IS NOT NULL) AS lk,
+                       sum(CASE WHEN arg1_fbid IS NOT NULL
+                                  OR arg2_fbid IS NOT NULL
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY arg1_frontend, rel_frontend,
+                                        arg2_frontend) AS nl
+                FROM fr
+            )
+            SELECT arg1_frontend, rel_frontend, arg2_frontend,
+                   CAST(sum(size) AS BIGINT) AS size,
+                   count(*) AS merged_groups,
+                   max(CASE WHEN lk THEN arg1_fbid END) AS arg1_fbid
+            FROM fl WHERE nl <= 1 OR NOT lk
+            GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT arg1_frontend, rel_frontend, arg2_frontend,
+                   size, CAST(1 AS BIGINT) AS merged_groups, arg1_fbid
+            FROM fl WHERE nl > 1 AND lk
         """,
         "kg_serving_budget": f"""
             {_linked_sql(ext_synth, dims)},

@@ -20,10 +20,14 @@ head phrase → CrossWikis candidates → context match → argmax → types):
   the reference's manual 0-99 salting (``TypeAttacher.scala:20,25``).
 * J8 context match replaces Lucene MoreLikeThis
   (``linker/.../entity/batch_match.java:209-254``) with a candidate-
-  pruned term-overlap cosine: each candidate carries its top tf-idf
-  terms (dim_context_terms); the score is the weight fraction of those
-  terms present in the instance sentence — computed with
-  array_intersect on the JVM, no Python.
+  pruned IDF-WEIGHTED term match: MoreLikeThis ranks query terms by
+  tf·idf against the whole index, so a term shared by every candidate
+  ("tesla" for both Nikola Tesla and Tesla Motors) contributes almost
+  nothing while a discriminative term ("motors") decides. The Spark
+  analog multiplies each candidate context term's weight by its corpus
+  idf — ``ln(N_entities / df(term))`` over dim_context_terms, one
+  groupBy at dim-prep time — and the score is the matched idf-weight
+  fraction, computed with zip_with/aggregate on the JVM, no Python.
 * T6 argmax: ``max_by(candidate, cprob · log(inlinks) · context)``
   (``EntityLinker.scala:147-149``), 3-decimal rounding as in
   ``batch_match.java:244``.
@@ -63,8 +67,25 @@ def _prepare_dims(spark_dims: dict[str, DataFrame]) -> DataFrame:
     title_fbid = spark_dims["dim_title_fbid"]
     inlinks = spark_dims["dim_fbid_title_inlinks"].select("fbid", "inlinks")
     types = spark_dims["dim_fbid_types"]
+    # J8: idf-weight the context terms over the candidate corpus (the
+    # MoreLikeThis analog — see module docstring). term_df joins on
+    # term as a shuffle join (AQE decides broadcast); the 1-row total
+    # is an explicit broadcast.
+    ctx_src = spark_dims["dim_context_terms"]
+    term_df = ctx_src.groupBy("term").agg(
+        F.count_distinct("fbid").alias("_df")
+    )
+    n_total = ctx_src.agg(F.count_distinct("fbid").alias("_n"))
+    weighted = (
+        ctx_src.join(term_df, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "fbid", "term",
+            (F.col("weight") * F.log(F.col("_n") / F.col("_df"))).alias("weight"),
+        )
+    )
     ctx = (
-        spark_dims["dim_context_terms"]
+        weighted
         .groupBy("fbid")
         .agg(
             F.collect_list("term").alias("ctx_terms"),

@@ -34,9 +34,13 @@ def normalize_query_text(text: str) -> str:
 
 @dataclass
 class QuerySpec:
-    arg1: str | None = None
-    rel: str | None = None
-    arg2: str | None = None
+    # each free-text field accepts one phrase or a LIST of phrases —
+    # the reference ORs multiple phrase clauses within one field
+    # (QuerySpec.scala:81-134 builds a BooleanQuery of SHOULD phrase
+    # clauses per field); a list here is the same disjunction
+    arg1: str | list[str] | None = None
+    rel: str | list[str] | None = None
+    arg2: str | list[str] | None = None
     arg1_entity_id: str | None = None
     arg2_entity_id: str | None = None
     arg1_types: list[str] = field(default_factory=list)
@@ -53,8 +57,15 @@ class QuerySpec:
         for col, raw in (("arg1_norm", self.arg1), ("rel_norm", self.rel),
                          ("arg2_norm", self.arg2)):
             if raw:
-                value = normalize_query_text(raw) if self.stem else raw
-                conds.append(F.col(col) == value)
+                phrases = [raw] if isinstance(raw, str) else list(raw)
+                values = [
+                    normalize_query_text(p) if self.stem else p
+                    for p in phrases
+                ]
+                # OR within the field (an IN-list, so Catalyst can turn
+                # it into partition pruning on a bucketed norm column);
+                # AND/OR ACROSS fields stays governed by `conjunction`
+                conds.append(F.col(col).isin(*values))
         if self.arg1_entity_id:
             conds.append(F.col("arg1_entity.fbid") == self.arg1_entity_id)
         if self.arg2_entity_id:

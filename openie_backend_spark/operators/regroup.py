@@ -62,6 +62,62 @@ def entity_merge_regroup(groups: DataFrame) -> DataFrame:
     return out.select(*cols)
 
 
+FRONTEND_KEY = ["arg1_frontend", "rel_frontend", "arg2_frontend"]
+
+
+def frontend_regroup(groups: DataFrame) -> DataFrame:
+    """G3 stage 2 / M6 (``ReVerbExtractionGroup.scala:139-168``
+    ``indexGroupingToFrontendGrouping`` + ``mergeUnlinkedIntoLargest
+    LinkedGroup``): regroup by the FRONTEND key (less aggressive
+    normalization than the index key, so e.g. different determiner
+    usages merge for display). Per frontend key:
+
+    * at most one linked group → merge everything into one group;
+    * several linked groups → merge only the unlinked ones together
+      (entities must not be conflated), linked groups pass through.
+
+    Set-based: one window + one groupBy on the SAME frontend key (AQE
+    plans a single exchange); no Python. Output rows carry the frontend
+    key as the group key (the reference's ``convertKey``), the summed
+    size, how many input groups merged, and the surviving arg1 fbid
+    (NULL for unlinked-merge rows)."""
+    from pyspark.sql import Window
+
+    has_links = "arg1_entity" in groups.columns
+    lk = (
+        (F.col("arg1_entity").isNotNull() | F.col("arg2_entity").isNotNull())
+        if has_links
+        else F.lit(False)
+    )
+    w = Window.partitionBy(*FRONTEND_KEY)
+    g = (
+        groups.withColumn("_lk", lk)
+        .withColumn("_nl", F.sum(F.col("_lk").cast("int")).over(w))
+    )
+    fbid1 = (
+        F.col("arg1_entity.fbid") if has_links else F.lit(None).cast("string")
+    )
+    mergeable = (F.col("_nl") <= 1) | ~F.col("_lk")
+    merged = (
+        g.filter(mergeable)
+        .groupBy(*FRONTEND_KEY)
+        .agg(
+            F.sum("size").alias("size"),
+            F.count(F.lit(1)).alias("merged_groups"),
+            # ≤1 linked group is mergeable per key, so this max is over
+            # at most one non-null value — deterministic
+            F.max(F.when(F.col("_lk"), fbid1)).alias("arg1_fbid"),
+        )
+    )
+    passthru = g.filter(~mergeable).select(
+        *FRONTEND_KEY,
+        F.col("size"),
+        F.lit(1).cast("long").alias("merged_groups"),
+        fbid1.alias("arg1_fbid"),
+    )
+    return merged.unionByName(passthru)
+
+
 def inlink_ratio(groups: DataFrame, inlinks_dim: DataFrame, side: str = "arg1") -> DataFrame:
     """G4: (fbid, group_count, inlinks, ratio = groups/inlinks)."""
     counted = (

@@ -101,3 +101,43 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     run_incremental(spark, str(landing) + "/*", groups_dir, ckpt, batch2.schema)
     g3 = spark.read.parquet(groups_dir)
     assert g3.filter(F.col("rel_norm") == "acquire").first()["size"] == 2
+
+    # DuckDB oracle on the final state (VERDICT r2 #6): the
+    # incrementally merged groups table must VALUE-match (key + size,
+    # modulo needs_relink) a single-pass grouping of the full input,
+    # re-derived outside Spark — single-process extraction mirror +
+    # independent SQL grouping (instance-set dedup + F1 empty-key).
+    import duckdb
+    import pandas as pd
+
+    from openie_backend_spark import mirror
+
+    all_rows = batch1.collect() + batch2.collect()
+    pages_pdf = pd.DataFrame(
+        {"url": [r["url"] for r in all_rows],
+         "text": [r["text"] for r in all_rows],
+         "lang": [r["lang"] for r in all_rows]}
+    )
+    ext_pdf = mirror.extractions_pdf(pages_pdf)  # noqa: F841 (duckdb scans it)
+    con = duckdb.connect()
+    expected = con.sql("""
+        SELECT arg1_norm, rel_norm, arg2_norm, count(*) AS size FROM (
+            SELECT DISTINCT arg1_norm, rel_norm, arg2_norm, url, sent_id,
+                   arg1_start, arg1_end, rel_start, rel_end,
+                   arg2_start, arg2_end, arg1_text, rel_text, arg2_text,
+                   round(confidence, 3) AS confidence
+            FROM ext_pdf
+            WHERE length(trim(arg1_norm)) > 0 AND length(trim(rel_norm)) > 0
+              AND length(trim(arg2_norm)) > 0
+        ) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).fetchall()
+    got = con.sql(f"""
+        SELECT arg1_norm, rel_norm, arg2_norm, CAST(size AS BIGINT) AS size
+        FROM read_parquet('{groups_dir}/bucket=*/*.parquet',
+                          hive_partitioning=true)
+        ORDER BY 1, 2, 3
+    """).fetchall()
+    assert got == expected, (
+        f"incremental merge diverged from full-input grouping:\n"
+        f"got {got}\nexpected {expected}"
+    )

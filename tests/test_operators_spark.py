@@ -266,3 +266,52 @@ def test_extreme_precision_filter_per_instance(spark):
     assert kept[("acme corp", "acquire", "globex inc.")] == 2
     assert not any("museum" in k[2] for k in kept)
     assert not any("today" in k[2] for k in kept)
+
+
+def test_frontend_regroup_branches(spark):
+    """ReVerbExtractionGroup.scala:139-168 semantics: per frontend key,
+    ≤1 linked group → merge all; >1 linked → merge only the unlinked
+    together and pass linked groups through untouched."""
+    ent_t = "struct<name:string,fbid:string,score:double,inlink_ratio:double>"
+    rows = [
+        # key (A,R,B): 1 linked + 2 unlinked → one merged group
+        ("a1", "r", "b", "A", "R", "B", 3, "f1"),
+        ("a2", "r", "b", "A", "R", "B", 1, None),
+        ("a3", "r", "b", "A", "R", "B", 2, None),
+        # key (C,R,D): 2 linked + 1 unlinked → unlinked-merge + 2 passthru
+        ("c1", "r", "d", "C", "R", "D", 5, "f2"),
+        ("c2", "r", "d", "C", "R", "D", 4, "f3"),
+        ("c3", "r", "d", "C", "R", "D", 1, None),
+        # key (E,R,F): single unlinked group
+        ("e1", "r", "f", "E", "R", "F", 7, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "arg1_norm string, rel_norm string, arg2_norm string, "
+        "arg1_frontend string, rel_frontend string, arg2_frontend string, "
+        "size long, fbid string",
+    )
+    df = (
+        df.withColumn(
+            "arg1_entity",
+            F.when(
+                F.col("fbid").isNotNull(),
+                F.struct(
+                    F.col("fbid").alias("name"), F.col("fbid").alias("fbid"),
+                    F.lit(1.0).alias("score"), F.lit(0.1).alias("inlink_ratio"),
+                ),
+            ).otherwise(F.lit(None).cast(ent_t)),
+        )
+        .withColumn("arg2_entity", F.lit(None).cast(ent_t))
+        .drop("fbid")
+    )
+    out = {
+        (r["arg1_frontend"], r["arg1_fbid"]): (r["size"], r["merged_groups"])
+        for r in regroup.frontend_regroup(df).collect()
+    }
+    assert out[("A", "f1")] == (6, 3)          # full merge, linked survives
+    assert out[("C", None)] == (1, 1)          # unlinked-merge row
+    assert out[("C", "f2")] == (5, 1)          # linked passthrough
+    assert out[("C", "f3")] == (4, 1)
+    assert out[("E", None)] == (7, 1)
+    assert len(out) == 5
