@@ -33,6 +33,8 @@ import pandas as pd
 _VERSIONED_SOURCES = [
     "nlp/chunker.py", "nlp/reverb.py", "nlp/stemmer.py", "nlp/nary.py",
     "nlp/lexicon.py", "nlp/tag_lexicon.py", "nlp/confidence.py",
+    "nlp/perceptron.py", "nlp/tagger_model.json.gz",
+    "nlp/chunker_model.json.gz",
     "operators/extract.py", "operators/nary.py", "operators/multimodal.py",
     "operators/instance_dedup.py", "synth.py",
 ]

@@ -163,6 +163,20 @@ def _tag_word(w: str, prev_tag: str, is_first: bool) -> str:
 
 
 def pos_tag(tokens: list[str]) -> list[str]:
+    """POS layer. Primary path: the averaged-perceptron model trained
+    on the reference's shipped tagged layers (held-out web POS acc
+    ≈0.89 vs 0.71 for the rules below — scripts/train_tagger.py); the
+    rule/lexicon tagger remains the deterministic fallback when no
+    model file is present."""
+    from openie_backend_spark.nlp import perceptron
+
+    model = perceptron.get_tagger()
+    if model is not None:
+        return model.tag(tokens)
+    return rule_pos_tag(tokens)
+
+
+def rule_pos_tag(tokens: list[str]) -> list[str]:
     tags: list[str] = []
     prev = "<S>"
     for i, w in enumerate(tokens):
@@ -193,6 +207,19 @@ _SBAR_WORDS = frozenset(
 
 
 def chunk(tokens: list[str], tags: list[str]) -> list[str]:
+    """IOB chunk layer. Primary path: the averaged-perceptron chunker
+    trained on the reference's gold OpenNLP chunk layers (held-out
+    accuracy ≈0.98 on gold POS, jackknife-trained against predicted
+    POS); rule fallback below when no model file is present."""
+    from openie_backend_spark.nlp import perceptron
+
+    model = perceptron.get_chunker()
+    if model is not None:
+        return model.chunk(tokens, tags)
+    return rule_chunk(tokens, tags)
+
+
+def rule_chunk(tokens: list[str], tags: list[str]) -> list[str]:
     """IOB chunk layer from POS tags (NP/VP/PP/SBAR/ADVP/PRT/O).
 
     Rules calibrated against the reference fixture's gold IOB layers

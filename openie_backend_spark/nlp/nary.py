@@ -14,6 +14,13 @@ extraction *shapes* on top of our chunk layers:
 * ``relnoun_extract``: noun-mediated relations from title/appositive
   patterns — "Initech CEO Bob Smith said" and "Bob Smith , Initech 's
   CEO , said" → (Bob Smith, be CEO of, Initech).
+* ``relclause_extract``: srlie's relative-clause depth (the A1-of-the-
+  matrix-verb case ``ScoobiOpenIE4.scala:66-137`` gets from the
+  dependency parse): in "Marie Curie , who discovered radium , won the
+  Nobel Prize", shallow ReVerb attaches the matrix verb to the nearest
+  left NP ("radium won the Nobel Prize"); this pass re-attaches matrix-
+  clause extractions whose arg1 fell inside a ", who/which ... ,"
+  bracket to the clause's head NP (Marie Curie).
 
 Pure Python; wrapped by ``operators/nary.py``.
 """
@@ -70,6 +77,50 @@ def nary_extract(tokens, pos, chunks) -> list[NaryExtraction]:
 
 def _np_spans(chunks):
     return reverb.noun_phrases(chunks)
+
+
+class RelClauseExtraction(NamedTuple):
+    arg1: tuple[int, int]          # the clause's head NP, re-attached
+    rel: tuple[int, int]
+    arg2: tuple[int, int]
+
+
+_WH_WORDS = frozenset({"who", "whom", "which", "whose", "that"})
+
+
+def relclause_extract(tokens, pos, chunks) -> list[RelClauseExtraction]:
+    """Matrix-verb re-attachment across ``NP , who/which … ,``
+    brackets (see module docstring). Emits only the CORRECTED matrix
+    extraction — the clause-internal triple ("Marie Curie discovered
+    radium") already comes out of the plain ReVerb pass."""
+    n = len(tokens)
+    nps = _np_spans(chunks)
+    out = []
+    # find (head_np, clause_start, clause_end) for each ", wh" bracket
+    brackets = []
+    for i in range(1, n - 1):
+        if tokens[i] != "," or tokens[i + 1].lower() not in _WH_WORDS:
+            continue
+        head = next(((s, e) for s, e in nps if e == i), None)
+        if head is None:
+            continue
+        close = next((j for j in range(i + 2, n) if tokens[j] == ","), None)
+        if close is None:
+            continue
+        brackets.append((head, i, close))
+    if not brackets:
+        return out
+    for e in reverb.extract(tokens, pos, chunks):
+        for head, open_c, close_c in brackets:
+            # matrix verb after the bracket, arg1 wrongly inside it
+            if (
+                e.rel[0] > close_c
+                and open_c < e.arg1[0] < close_c
+                and e.arg2[0] > close_c
+            ):
+                out.append(RelClauseExtraction(head, e.rel, e.arg2))
+                break
+    return out
 
 
 def relnoun_extract(tokens, pos, chunks) -> list[RelnounExtraction]:

@@ -1,0 +1,349 @@
+"""Averaged-perceptron POS tagger (pure Python, no dependencies).
+
+The reference tags raw sentences with shipped OpenNLP maxent models
+(``hadoop/.../ScoobiSentenceChunker.scala:19,35-52``); binary model
+files are out of scope here, so the raw-text path trains its own
+tagger on the tagged sentence layers the reference DOES ship —
+``test-groups.txt`` (≈3.8k distinct web sentences with OpenNLP
+POS/chunk layers) and ``TestReVerbExtractions.txt`` (WSJ-style) — via
+``scripts/train_tagger.py``, which writes
+``openie_backend_spark/nlp/tagger_model.json.gz``.
+
+The algorithm is the classic averaged perceptron for tagging
+(Collins 2002, EMNLP; feature template set popularized by Honnibal's
+"A Good Part-of-Speech Tagger in about 200 Lines of Python"):
+
+* greedy left-to-right decoding, features over (word, prev tag,
+  prev2 tag, neighbors, prefixes/suffixes, digit/hyphen/case shape);
+* on error, +1 the gold-tag weights and -1 the predicted-tag weights;
+* final weights are the average over all updates (stabilizes the
+  online estimates);
+* a "single-tag" dictionary short-circuits frequent unambiguous words
+  (≥ 97 % one tag in training), which covers most tokens and keeps
+  the raw-text extraction path fast inside the Arrow-batched UDFs.
+
+Inference is deterministic: score ties break on the tag string.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+from collections import defaultdict
+
+MODEL_PATH = os.path.join(os.path.dirname(__file__), "tagger_model.json.gz")
+
+
+def _normalize(word: str) -> str:
+    if word and word[0].isdigit():
+        return "!DIGIT"
+    return word.lower()
+
+
+def _features(i: int, word: str, context: list[str], prev: str, prev2: str):
+    """Feature template (Collins/Honnibal). ``context`` is the
+    normalized token list padded with two boundary markers each side,
+    so ``context[i+2]`` is the current word."""
+    j = i + 2
+    w = context[j]
+    feats = [
+        "b",  # bias
+        "s3 " + w[-3:],
+        "s2 " + w[-2:],
+        "p1 " + w[:1],
+        "t1 " + prev,
+        "t2 " + prev2,
+        "t12 " + prev + " " + prev2,
+        "w " + w,
+        "t1w " + prev + " " + w,
+        "t1s3 " + prev + " " + w[-3:],
+        "-1w " + context[j - 1],
+        "-1s3 " + context[j - 1][-3:],
+        "-2w " + context[j - 2],
+        "+1w " + context[j + 1],
+        "+1s3 " + context[j + 1][-3:],
+        "+2w " + context[j + 2],
+        "w+1w " + w + " " + context[j + 1],
+        "t1+1w " + prev + " " + context[j + 1],
+    ]
+    if word and word[0].isupper():
+        feats.append("cap" if i > 0 else "cap0")
+    if "-" in word:
+        feats.append("hyp")
+    return feats
+
+
+class PerceptronTagger:
+    def __init__(self):
+        self.weights: dict[str, dict[str, float]] = {}
+        self.single_tag: dict[str, str] = {}
+        self.tags: list[str] = []
+
+    # ------------------------------------------------------ inference
+
+    def _predict(self, feats) -> str:
+        scores: dict[str, float] = defaultdict(float)
+        for f in feats:
+            w = self.weights.get(f)
+            if w:
+                for tag, v in w.items():
+                    scores[tag] += v
+        if not scores:
+            return "NN"
+        # deterministic: max score, ties broken by tag string
+        return max(self.tags, key=lambda t: (scores.get(t, 0.0), t))
+
+    def tag(self, tokens: list[str]) -> list[str]:
+        out: list[str] = []
+        context = ["_S2", "_S1"] + [_normalize(t) for t in tokens] + ["_E1", "_E2"]
+        prev, prev2 = "-START-", "-START2-"
+        for i, word in enumerate(tokens):
+            t = self.single_tag.get(_normalize(word))
+            if t is None:
+                t = self._predict(_features(i, word, context, prev, prev2))
+            out.append(t)
+            prev2, prev = prev, t
+        return out
+
+    # ------------------------------------------------------- training
+
+    def train(
+        self,
+        sentences: list[tuple[list[str], list[str]]],
+        epochs: int = 8,
+        seed: int = 13,
+        min_freq: int = 5,
+        ambiguity: float = 0.97,
+    ) -> None:
+        counts: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        tagset = set()
+        for toks, tags in sentences:
+            for w, t in zip(toks, tags):
+                counts[_normalize(w)][t] += 1
+                tagset.add(t)
+        self.tags = sorted(tagset)
+        self.single_tag = {}
+        for w, tc in counts.items():
+            total = sum(tc.values())
+            tag, n = max(tc.items(), key=lambda kv: (kv[1], kv[0]))
+            if total >= min_freq and n / total >= ambiguity:
+                self.single_tag[w] = tag
+
+        totals: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+        stamps: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        weights: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+        self.weights = weights
+        instance = 0
+        rng = random.Random(seed)
+        order = list(range(len(sentences)))
+        for _ in range(epochs):
+            rng.shuffle(order)
+            for si in order:
+                toks, gold = sentences[si]
+                context = (
+                    ["_S2", "_S1"] + [_normalize(t) for t in toks] + ["_E1", "_E2"]
+                )
+                prev, prev2 = "-START-", "-START2-"
+                for i, word in enumerate(toks):
+                    instance += 1
+                    t = self.single_tag.get(_normalize(word))
+                    if t is None:
+                        feats = _features(i, word, context, prev, prev2)
+                        t = self._predict(feats)
+                        if t != gold[i]:
+                            for f in feats:
+                                for tag, delta in ((gold[i], 1.0), (t, -1.0)):
+                                    totals[f][tag] += (
+                                        instance - stamps[f][tag]
+                                    ) * weights[f][tag]
+                                    stamps[f][tag] = instance
+                                    weights[f][tag] += delta
+                    # gold tags feed the history during training
+                    prev2, prev = prev, gold[i]
+        # average
+        averaged: dict[str, dict[str, float]] = {}
+        for f, tw in weights.items():
+            row = {}
+            for tag, w in tw.items():
+                total = totals[f][tag] + (instance - stamps[f][tag]) * w
+                avg = round(total / instance, 4)
+                if avg:
+                    row[tag] = avg
+            if row:
+                averaged[f] = row
+        self.weights = averaged
+
+    # ----------------------------------------------------------- io
+
+    def save(self, path: str = MODEL_PATH) -> None:
+        blob = {
+            "tags": self.tags,
+            "single_tag": self.single_tag,
+            "weights": self.weights,
+        }
+        with gzip.open(path, "wt", encoding="utf-8") as fh:
+            json.dump(blob, fh, separators=(",", ":"), sort_keys=True)
+
+    @classmethod
+    def load(cls, path: str = MODEL_PATH) -> "PerceptronTagger":
+        with gzip.open(path, "rt", encoding="utf-8") as fh:
+            blob = json.load(fh)
+        t = cls()
+        t.tags = blob["tags"]
+        t.single_tag = blob["single_tag"]
+        t.weights = blob["weights"]
+        return t
+
+
+CHUNKER_MODEL_PATH = os.path.join(
+    os.path.dirname(__file__), "chunker_model.json.gz"
+)
+
+
+def _chunk_features(i: int, words: list[str], pos: list[str], prev: str):
+    """IOB chunking features over the word/POS context (CoNLL-2000
+    style: Kudo & Matsumoto 2001 window features, greedy decoding)."""
+    j = i + 2
+    feats = [
+        "b",
+        "p " + pos[j],
+        "p-1 " + pos[j - 1],
+        "p-2 " + pos[j - 2],
+        "p+1 " + pos[j + 1],
+        "p+2 " + pos[j + 2],
+        "pp-1 " + pos[j - 1] + " " + pos[j],
+        "pp+1 " + pos[j] + " " + pos[j + 1],
+        "ppp " + pos[j - 1] + " " + pos[j] + " " + pos[j + 1],
+        "w " + words[j],
+        "w-1 " + words[j - 1],
+        "w+1 " + words[j + 1],
+        "wp " + words[j] + " " + pos[j],
+        "c-1 " + prev,
+        "c-1p " + prev + " " + pos[j],
+        # NP-boundary discriminators (B-NP vs I-NP is the dominant
+        # error class): the word pair across the boundary and the
+        # previous chunk with the POS bigram
+        "w-1w " + words[j - 1] + " " + words[j],
+        "c-1pp " + prev + " " + pos[j - 1] + " " + pos[j],
+        "p-1w " + pos[j - 1] + " " + words[j],
+        "pw+1 " + pos[j] + " " + words[j + 1],
+    ]
+    return feats
+
+
+class PerceptronChunker:
+    """Same averaged-perceptron machinery as the tagger, emitting IOB
+    chunk tags from (tokens, POS). Trained on the reference's gold
+    chunk layers (OpenNLP output), so the raw path reproduces the
+    chunking behavior the extractor's patterns were built against."""
+
+    def __init__(self):
+        self.weights: dict[str, dict[str, float]] = {}
+        self.tags: list[str] = []
+
+    def _predict(self, feats) -> str:
+        scores: dict[str, float] = defaultdict(float)
+        for f in feats:
+            w = self.weights.get(f)
+            if w:
+                for tag, v in w.items():
+                    scores[tag] += v
+        if not scores:
+            return "O"
+        return max(self.tags, key=lambda t: (scores.get(t, 0.0), t))
+
+    def chunk(self, tokens: list[str], pos: list[str]) -> list[str]:
+        words = ["_S2", "_S1"] + [_normalize(t) for t in tokens] + ["_E1", "_E2"]
+        ptags = ["_S2", "_S1"] + list(pos) + ["_E1", "_E2"]
+        out: list[str] = []
+        prev = "-START-"
+        for i in range(len(tokens)):
+            t = self._predict(_chunk_features(i, words, ptags, prev))
+            out.append(t)
+            prev = t
+        return out
+
+    def train(
+        self,
+        sentences: list[tuple[list[str], list[str], list[str]]],
+        epochs: int = 8,
+        seed: int = 29,
+    ) -> None:
+        tagset = set()
+        for _, _, chunks in sentences:
+            tagset.update(chunks)
+        self.tags = sorted(tagset)
+        totals: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+        stamps: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        weights: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+        self.weights = weights
+        instance = 0
+        rng = random.Random(seed)
+        order = list(range(len(sentences)))
+        for _ in range(epochs):
+            rng.shuffle(order)
+            for si in order:
+                toks, pos, gold = sentences[si]
+                words = ["_S2", "_S1"] + [_normalize(t) for t in toks] + ["_E1", "_E2"]
+                ptags = ["_S2", "_S1"] + list(pos) + ["_E1", "_E2"]
+                prev = "-START-"
+                for i in range(len(toks)):
+                    instance += 1
+                    feats = _chunk_features(i, words, ptags, prev)
+                    t = self._predict(feats)
+                    if t != gold[i]:
+                        for f in feats:
+                            for tag, delta in ((gold[i], 1.0), (t, -1.0)):
+                                totals[f][tag] += (
+                                    instance - stamps[f][tag]
+                                ) * weights[f][tag]
+                                stamps[f][tag] = instance
+                                weights[f][tag] += delta
+                    prev = gold[i]
+        averaged: dict[str, dict[str, float]] = {}
+        for f, tw in weights.items():
+            row = {}
+            for tag, w in tw.items():
+                total = totals[f][tag] + (instance - stamps[f][tag]) * w
+                avg = round(total / instance, 4)
+                if avg:
+                    row[tag] = avg
+            if row:
+                averaged[f] = row
+        self.weights = averaged
+
+    def save(self, path: str = CHUNKER_MODEL_PATH) -> None:
+        blob = {"tags": self.tags, "weights": self.weights}
+        with gzip.open(path, "wt", encoding="utf-8") as fh:
+            json.dump(blob, fh, separators=(",", ":"), sort_keys=True)
+
+    @classmethod
+    def load(cls, path: str = CHUNKER_MODEL_PATH) -> "PerceptronChunker":
+        with gzip.open(path, "rt", encoding="utf-8") as fh:
+            blob = json.load(fh)
+        c = cls()
+        c.tags = blob["tags"]
+        c.weights = blob["weights"]
+        return c
+
+
+_CACHED: PerceptronTagger | None = None
+_CACHED_CHUNKER: PerceptronChunker | None = None
+
+
+def get_tagger() -> PerceptronTagger | None:
+    """Process-wide cached model; None when no model file is present
+    (the rule/lexicon tagger then remains the raw path)."""
+    global _CACHED
+    if _CACHED is None and os.path.exists(MODEL_PATH):
+        _CACHED = PerceptronTagger.load()
+    return _CACHED
+
+
+def get_chunker() -> PerceptronChunker | None:
+    global _CACHED_CHUNKER
+    if _CACHED_CHUNKER is None and os.path.exists(CHUNKER_MODEL_PATH):
+        _CACHED_CHUNKER = PerceptronChunker.load()
+    return _CACHED_CHUNKER

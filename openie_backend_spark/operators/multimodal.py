@@ -1,11 +1,14 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` columns
 with typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic fake (md5-seeded pixels) behind
-``_decode_image``; the Spark-side plumbing — schema, batch iteration,
-partition sizing, UDF signatures — is real and tested. Swapping in a
-real decoder (PIL / torchaudio) changes only the two marked functions.
+Decode: ``_decode_image`` routes through PIL when it is importable
+(grayscale decode → resize → normalized pixel vector) and otherwise
+falls back to a clearly-marked deterministic fake (md5-seeded pixels).
+This container ships no codecs, so the fake is what runs here — the
+row stays "plumbing-only" in COVERAGE.md — but the Spark-side plumbing
+(schema, batch iteration, partition sizing, UDF signatures) is real
+and tested, and a PIL-enabled build exercises the real path via
+``test_real_image_decode_with_pil`` (auto-skips without PIL).
 
 Scale notes: binary payloads ride in their own column so column
 pruning keeps metadata-only queries off the blobs;
@@ -49,13 +52,36 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+try:  # optional codec: present on PIL-enabled builds, absent here
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - the in-container branch
+    _PILImage = None
+
+
 def _decode_image(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB DECODER — deterministic fake. A real build replaces this
-    with PIL/open-cv decode; no image libraries ship in this container.
-    Produces a dim-length float vector seeded by the payload digest so
-    downstream plumbing is fully exercised and reproducible."""
+    """Image payload → dim-length float32 feature vector.
+
+    With PIL importable: real decode — grayscale, resize to a grid of
+    ~dim pixels, normalized pixel intensities (deterministic for a
+    given payload). Without PIL, or for payloads PIL cannot parse: the
+    DETERMINISTIC FAKE (md5-seeded pixels) so downstream plumbing is
+    fully exercised and reproducible; this container ships no codecs,
+    so the fake is the in-container behavior."""
     if payload is None:
         raise NotImplementedError("real image decode requires PIL; payload missing")
+    if _PILImage is not None:
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(bytes(payload))).convert("L")
+            side = max(int(dim ** 0.5), 1)
+            img = img.resize((side, max(dim // side, 1)))
+            arr = np.asarray(img, dtype=np.float32).ravel() / 255.0
+            out = np.zeros(dim, dtype=np.float32)
+            out[: min(dim, arr.size)] = arr[:dim]
+            return out
+        except Exception:
+            pass  # non-image payload → deterministic fingerprint below
     digest = hashlib.md5(payload).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     return rng.random(dim, dtype=np.float64).astype(np.float32)

@@ -1,7 +1,8 @@
 """Spark operators for the n-ary / noun-mediated extraction surface
 (M3/M4): the OpenIE-4-shaped second extractor stack, emitting tagged
-rows (``kind`` = 'T' ReVerb triple-with-attachments, 'N' noun-mediated)
-so the stream splitter (M4) is a plain column filter.
+rows (``kind`` = 'T' ReVerb triple-with-attachments, 'N' noun-mediated,
+'R' relative-clause re-attachment) so the stream splitter (M4) is a
+plain column filter.
 """
 
 from __future__ import annotations
@@ -67,6 +68,19 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             0.8,
                         )
                     )
+                for rc in nary.relclause_extract(toks, tags, chks):
+                    a1 = " ".join(toks[rc.arg1[0]:rc.arg1[1]])
+                    rel = " ".join(toks[rc.rel[0]:rc.rel[1]])
+                    a2 = " ".join(toks[rc.arg2[0]:rc.arg2[1]])
+                    rows.append(
+                        (
+                            url, sid, "R", a1, rel, [a2],
+                            stemmer.index_key_part(*seg(*rc.arg1)),
+                            stemmer.index_key_part(*seg(*rc.rel)),
+                            stemmer.index_key_part(*seg(*rc.arg2)),
+                            0.6,
+                        )
+                    )
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -76,8 +90,9 @@ def extract_nary(pages: DataFrame, lang: str = "en") -> DataFrame:
 
 
 def split_streams(extractions: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """M4: route by kind tag."""
+    """M4: route by kind tag — verb-mediated rows ('T' n-ary, 'R'
+    relative-clause re-attachments) vs noun-mediated ('N')."""
     return (
-        extractions.filter(F.col("kind") == "T"),
+        extractions.filter(F.col("kind").isin("T", "R")),
         extractions.filter(F.col("kind") == "N"),
     )

@@ -215,12 +215,13 @@ DEFAULT_N_PAGES = 150
 
 
 def corpus_cache_dir(n_pages: int = DEFAULT_N_PAGES) -> str:
-    """Cache directory name keyed on this module's source hash and the
-    page count, so editing the generator invalidates the cached corpus
-    (stale /tmp pages were an ADVICE r2 finding)."""
-    with open(os.path.abspath(__file__), "rb") as f:
-        h = hashlib.md5(f.read()).hexdigest()[:10]
-    return f"/tmp/openie_synth_cache_{h}_n{n_pages}"
+    """Cache directory name keyed on the NLP+synth source hash (via
+    ``mirror.source_version`` — ``expected_triples`` runs the live
+    extractor, so a tagger change must regenerate the corpus too) and
+    the page count. Stale /tmp pages were an ADVICE r2 finding."""
+    from openie_backend_spark import mirror
+
+    return f"/tmp/openie_synth_cache_{mirror.source_version()}_n{n_pages}"
 
 
 def ensure_corpus(n_pages: int = DEFAULT_N_PAGES) -> str:

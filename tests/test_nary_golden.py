@@ -1,0 +1,99 @@
+"""Hand-labeled n-ary / relnoun / relative-clause goldens (VERDICT r2
+#4): P/R of the OpenIE-4-shaped surface (``nlp/nary.py``) against
+hand-annotated expectations on fixture-style sentences, reported in
+COVERAGE.md. The reference's depth here is srlie's dependency-parse
+SRL (``ScoobiOpenIE4.scala:66-137``); these goldens pin the chunk-level
+analog: trailing-PP n-ary attachments, the three relnoun patterns, and
+relative-clause matrix re-attachment.
+"""
+
+from __future__ import annotations
+
+from openie_backend_spark.nlp import chunker, nary
+
+# (sentence, kind, arg1, rel-or-None, arg2s) — texts joined by spaces.
+# kind: "T" = n-ary with attachments, "N" = relnoun, "R" = rel-clause.
+GOLD = [
+    # trailing-PP n-ary attachments
+    ("Acme Corp acquired Globex Inc. in 2006 for millions .",
+     "T", "Acme Corp", "acquired", ["Globex Inc.", "in 2006", "for millions"]),
+    ("Bob Smith moved to Springfield in 1999 .",
+     "T", "Bob Smith", "moved to", ["Springfield", "in 1999"]),
+    ("Marie Curie won the Nobel Prize in 1911 .",
+     "T", "Marie Curie", "won", ["the Nobel Prize", "in 1911"]),
+    ("Initech sold the division to Hooli for $ 2 billion in March .",
+     "T", "Initech", "sold", ["the division", "to Hooli",
+                              "for $ 2 billion", "in March"]),
+    # subject-control / infinitival chains (rel spans the chain)
+    ("Hooli agreed to acquire Pied Piper for $ 1 billion .",
+     "T", "Hooli", "agreed to acquire", ["Pied Piper", "for $ 1 billion"]),
+    ("The board refused to approve the merger in April .",
+     "T", "The board", "refused to approve", ["the merger", "in April"]),
+    # copular complements ride the V W* P relation shape
+    ("Alice Brown is the author of the book .",
+     "T", "Alice Brown", "is the author of", ["the book"]),
+    ("Oscorp is a subsidiary of Initech .",
+     "T", "Oscorp", "is a subsidiary of", ["Initech"]),
+    # relnoun pattern A (title)
+    ("Initech CEO Bob Smith resigned yesterday .",
+     "N", "Bob Smith", "be ceo of", ["Initech"]),
+    ("Globex founder Jane Doe spoke first .",
+     "N", "Jane Doe", "be founder of", ["Globex"]),
+    # relnoun pattern B (possessive)
+    ("Hooli 's founder , Jane Doe , resigned .",
+     "N", "Jane Doe", "be founder of", ["Hooli"]),
+    # relnoun pattern C (appositive-of)
+    ("Bob Smith , CEO of Initech , resigned yesterday .",
+     "N", "Bob Smith", "be ceo of", ["Initech"]),
+    ("Jane Doe , the president of Globex , spoke first .",
+     "N", "Jane Doe", "be president of", ["Globex"]),
+    # relative-clause matrix re-attachment
+    ("Marie Curie , who discovered radium , won the Nobel Prize in 1911 .",
+     "R", "Marie Curie", "won", ["the Nobel Prize"]),
+    ("Acme Corp , which acquired Globex in 2006 , is based in Springfield .",
+     "R", "Acme Corp", "is based in", ["Springfield"]),
+    ("Bob Smith , who founded Initech , lives in Springfield .",
+     "R", "Bob Smith", "lives in", ["Springfield"]),
+]
+
+
+def _predicted(sentence):
+    toks, tags, chks = chunker.chunk_sentence(sentence)
+    out = set()
+    join = lambda a, b: " ".join(toks[a:b])
+    for e in nary.nary_extract(toks, tags, chks):
+        out.add(("T", join(*e.arg1), join(*e.rel),
+                 tuple(join(a, b) for a, b in e.arg2s)))
+    for r in nary.relnoun_extract(toks, tags, chks):
+        out.add(("N", join(*r.arg1), r.rel_text, (join(*r.arg2),)))
+    for rc in nary.relclause_extract(toks, tags, chks):
+        out.add(("R", join(*rc.arg1), join(*rc.rel), (join(*rc.arg2),)))
+    return out
+
+
+def test_nary_golden_pr():
+    tp = fn = 0
+    misses = []
+    n_pred = 0
+    for sent, kind, a1, rel, a2s in GOLD:
+        preds = _predicted(sent)
+        n_pred += len(preds)
+        want = (kind, a1, rel, tuple(a2s))
+        # n-ary attachment lists may extend beyond the labeled prefix
+        hit = any(
+            p[0] == kind and p[1] == a1 and p[2] == rel
+            and p[3][: len(a2s)] == tuple(a2s)
+            for p in preds
+        )
+        if hit:
+            tp += 1
+        else:
+            fn += 1
+            misses.append((sent[:50], want, sorted(preds)[:3]))
+    recall = tp / (tp + fn)
+    # precision proxy: the goldens label one construction per sentence,
+    # but extra T rows (sub-extractions) are legitimate; require the
+    # labeled construction to be found (recall gate) and report density
+    print(f"nary golden recall {recall:.3f} ({tp}/{tp+fn}), "
+          f"{n_pred} predictions over {len(GOLD)} sentences")
+    assert recall >= 0.8, f"misses: {misses}"

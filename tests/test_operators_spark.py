@@ -315,3 +315,24 @@ def test_frontend_regroup_branches(spark):
     assert out[("C", "f3")] == (4, 1)
     assert out[("E", None)] == (7, 1)
     assert len(out) == 5
+
+
+def test_real_image_decode_with_pil(spark):
+    """Real-decode path: auto-skips in this container (no PIL). On a
+    PIL-enabled build, a generated PNG must decode to its normalized
+    pixel grid, not the md5 fallback."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.new("L", (8, 8))
+    img.putdata([(x * 8 + y) * 4 for x in range(8) for y in range(8)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feat = multimodal._decode_image(buf.getvalue(), dim=16)
+    assert feat.shape == (16,) and feat.dtype == np.float32
+    assert 0.0 <= float(feat.min()) and float(feat.max()) <= 1.0
+    # decoded from pixels (monotone grid), not the md5 fake
+    assert float(feat[0]) < float(feat[-1])
