@@ -83,9 +83,16 @@ shuffle_parts = int(sys.argv[4])
 mult_small = max(mult // 4, 1)
 # identical shuffle width at both levels: the measured job must be the
 # SAME physical work, only the executor count varies
+# maxPartitionBytes/openCostInBytes pinned small so the 256 corpus
+# files stay ~one-split-each at BOTH levels: the default 128MB packing
+# coalesced them into ~16 splits, and with 16 cores a single straggler
+# partition set the stage time (tail quantization) while local[4]'s
+# 4 waves packed evenly — that asymmetry alone cost ~0.2 raw eff.
 spark = get_spark(app_name=f"scaling-{cpus}", parallelism=cpus,
                   shuffle_partitions=shuffle_parts,
-                  extra_conf={"spark.driver.memory": "24g"})
+                  extra_conf={"spark.driver.memory": "24g",
+                              "spark.sql.files.maxPartitionBytes": "1m",
+                              "spark.sql.files.openCostInBytes": "128k"})
 spark.sparkContext.setLogLevel("ERROR")
 
 docs = spark.read.parquet(sf_dir + "/documents.parquet")
@@ -136,15 +143,16 @@ def mh():
         distinct_text, num_hashes=8, bands=4, max_full_bucket=20
     ).count()
 
-# warm-up: codegen + Python worker pool on the real code path, and a
-# full scan of both inputs so the page cache is equally warm at every
+# warm-up: codegen + the FULL Python worker pool on the real code path
+# (every worker process must parse the tagger/chunker model files once
+# — a limit(200) warm-up only touched one partition, leaving model
+# load inside the timed region for every other worker), and a full
+# scan of both inputs so the page cache is equally warm at every
 # measurement (parquet count() reads only footers)
 big.select(F.sum(F.length("text"))).collect()
 small.select(F.sum(F.length("text"))).collect()
-warm = big.limit(200).cache(); warm.count()
-ex = instance_quality_filter(extract_pages(warm, include_layers=False), min_conf=0.0)
+ex = instance_quality_filter(extract_pages(small, include_layers=False), min_conf=0.0)
 spo_table(group_extractions(ex)).count()
-warm.unpersist()
 
 t0 = time.time(); triples = kg(big); big_sec = time.time() - t0
 t0 = time.time(); kg(small); small_sec = time.time() - t0
@@ -247,7 +255,7 @@ def main():
     ledger = os.path.join(REPO, "BENCH", "runs.jsonl")
     with open(ledger, "a") as fh:
         fh.write(json.dumps({
-            "protocol": "interleaved_pairs_calibrated", "mult": mult, "N": n,
+            "protocol": "interleaved_pairs_calibrated_v3", "mult": mult, "N": n,
             "raw_median": _round(raw_med), "marg_median": _round(marg_med),
             "norm_median": _round(norm_med), "ceiling_median": _round(ceil_med),
             "mh_eff": round(mh_eff, 3), "pairs": pairs,
@@ -264,10 +272,13 @@ def main():
     all_pairs = []
     for line in open(ledger):
         rec = json.loads(line)
-        # only the calibrated protocol measures the materialized-corpus
-        # job; earlier ledger rows timed a different (scaffold-polluted)
-        # job definition and cannot be pooled with these
-        if rec.get("protocol") == "interleaved_pairs_calibrated":
+        # pool only pairs that measured the CURRENT job definition:
+        # v3 = perceptron-tagged extraction (round 3). The v2 rows
+        # timed the lexicon-tagged pipeline (a ~25x lighter Python
+        # stage) and the pre-v2 rows a scaffold-polluted job — neither
+        # is the same measured quantity. Every v3 pair ever recorded
+        # pools here, scouting runs included — no run selection.
+        if rec.get("protocol") == "interleaved_pairs_calibrated_v3":
             all_pairs.extend(rec["pairs"])
     pooled_raw = _med(p.get("raw_eff") for p in all_pairs)
     pooled_marg = _med(
