@@ -75,25 +75,46 @@ def _features(i: int, word: str, context: list[str], prev: str, prev2: str):
     return feats
 
 
+def _argmax_tag(scores: dict[str, float], tags_desc: list[str], default: str) -> str:
+    """max over ALL tags where unscored tags compete at exactly 0.0,
+    ties broken by tag string — identical to
+    ``max(tags, key=lambda t: (scores.get(t, 0.0), t))`` but touching
+    only the ~8 scored tags in the common case (hot inference path)."""
+    if not scores:
+        return default
+    bt = None
+    bv = None
+    for tag, v in scores.items():
+        if bv is None or v > bv or (v == bv and tag > bt):
+            bv, bt = v, tag
+    if bv <= 0.0:
+        for tag in tags_desc:  # largest unscored tag, scoring 0.0
+            if tag not in scores:
+                if bv < 0.0 or (bv == 0.0 and tag > bt):
+                    bv, bt = 0.0, tag
+                break
+    return bt
+
+
 class PerceptronTagger:
     def __init__(self):
         self.weights: dict[str, dict[str, float]] = {}
         self.single_tag: dict[str, str] = {}
         self.tags: list[str] = []
+        self._tags_desc: list[str] = []
 
     # ------------------------------------------------------ inference
 
     def _predict(self, feats) -> str:
-        scores: dict[str, float] = defaultdict(float)
+        scores: dict[str, float] = {}
         for f in feats:
             w = self.weights.get(f)
             if w:
                 for tag, v in w.items():
-                    scores[tag] += v
-        if not scores:
-            return "NN"
-        # deterministic: max score, ties broken by tag string
-        return max(self.tags, key=lambda t: (scores.get(t, 0.0), t))
+                    scores[tag] = scores.get(tag, 0.0) + v
+        if not self._tags_desc:
+            self._tags_desc = sorted(self.tags, reverse=True)
+        return _argmax_tag(scores, self._tags_desc, "NN")
 
     def tag(self, tokens: list[str]) -> list[str]:
         out: list[str] = []
@@ -242,17 +263,18 @@ class PerceptronChunker:
     def __init__(self):
         self.weights: dict[str, dict[str, float]] = {}
         self.tags: list[str] = []
+        self._tags_desc: list[str] = []
 
     def _predict(self, feats) -> str:
-        scores: dict[str, float] = defaultdict(float)
+        scores: dict[str, float] = {}
         for f in feats:
             w = self.weights.get(f)
             if w:
                 for tag, v in w.items():
-                    scores[tag] += v
-        if not scores:
-            return "O"
-        return max(self.tags, key=lambda t: (scores.get(t, 0.0), t))
+                    scores[tag] = scores.get(tag, 0.0) + v
+        if not self._tags_desc:
+            self._tags_desc = sorted(self.tags, reverse=True)
+        return _argmax_tag(scores, self._tags_desc, "O")
 
     def chunk(self, tokens: list[str], pos: list[str]) -> list[str]:
         words = ["_S2", "_S1"] + [_normalize(t) for t in tokens] + ["_E1", "_E2"]
