@@ -596,6 +596,90 @@ def _kg_edges(spark, sf):
         "subject_id", F.concat_ws(",", "dst_ids").alias("dst_csv"), "out_degree"
     )
 
+_TAB_FIXTURE = "/tmp/openie_tab_fixture_v1.tab"
+# interval literal ("[0, 2)" / "{0, 2)" legacy variants), as a quoted
+# SQL regex for the DuckDB side of the S1/M12 oracle
+_TAB_REX = r"'[\[{](\d+), (\d+)[)\]}]'"
+
+
+def _ensure_tab_fixture() -> str:
+    """Deterministic tab-serialized ReVerbExtraction lines in the
+    reference's 7-column on-disk format (three ``[start, end)``
+    intervals, three space-joined aligned token layers, url —
+    ``models/.../ReVerbExtraction.scala:137-147``), for the S1/M12
+    source oracle. Includes a ``None`` url row and a malformed line
+    that both readers must drop."""
+    if not os.path.exists(_TAB_FIXTURE):
+        words = ["alpha", "beta", "gamma", "delta",
+                 "epsilon", "zeta", "eta", "theta"]
+        lines = []
+        for i in range(40):
+            n = 5 + i % 4
+            toks = [words[(i + j) % 8] for j in range(n)]
+            tags = ["NNP" if j == 0 else ("VBZ" if j == 2 else "NN")
+                    for j in range(n)]
+            chks = ["B-NP" if j in (0, 3) else ("B-VP" if j == 2 else "I-NP")
+                    for j in range(n)]
+            url = "None" if i % 7 == 0 else f"http://example.org/page/{i}"
+            lines.append("\t".join([
+                "[0, 2)", "[2, 3)", f"[3, {n})",
+                " ".join(toks), " ".join(tags), " ".join(chks), url,
+            ]))
+        lines.append("malformed line without tabs")
+        tmp = _TAB_FIXTURE + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, _TAB_FIXTURE)
+    return _TAB_FIXTURE
+
+
+def _src_tab_extractions(spark, sf):
+    """S1/M12: the reference's tab-serialized extraction dump parsed
+    JVM-side (sources/tab.py), malformed lines dropped."""
+    from openie_backend_spark.sources.tab import read_extractions_tab
+
+    df = read_extractions_tab(spark, _ensure_tab_fixture())
+    return df.select(
+        "arg1_start", "arg1_end", "rel_start", "rel_end",
+        "arg2_start", "arg2_end",
+        F.concat_ws(" ", "tokens").alias("token_str"),
+        F.concat_ws(" ", "pos_tags").alias("tag_str"),
+        F.coalesce("url", F.lit("")).alias("url"),
+    )
+
+
+def _m4_split_streams(spark, sf):
+    """M4: route the second-extractor output by kind tag — verb-mediated
+    ('T' n-ary, 'R' relclause) vs noun-mediated ('N') streams
+    (hadoop/.../scoobi splitter stage)."""
+    from openie_backend_spark.operators.nary import extract_nary, split_streams
+
+    pages, _ = _synth(spark)
+    verb, noun = split_streams(extract_nary(pages))
+    both = verb.withColumn("stream", F.lit("verb")).unionByName(
+        noun.withColumn("stream", F.lit("noun")))
+    return both.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("rel_norm").alias("n_rels"),
+    )
+
+
+def _j2_salted_join(spark, sf):
+    """J2: deterministic salted equi-join (functions/skew.salted_join,
+    the TypeAttacher.scala:20-25 hot-key spread) — aggregate result is
+    salt-invariant, so the oracle is a plain join."""
+    from openie_backend_spark.functions.skew import salted_join
+
+    o = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    joined = salted_join(o, c, "custkey", buckets=8, how="left")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_group_agg": _g1_group_agg,
@@ -648,6 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _kg_edges,
         "kg_nary": _kg_nary,
         "mm_features": _mm_features,
+        "src_tab_extractions": _src_tab_extractions,
+        "m4_split_streams": _m4_split_streams,
+        "j2_salted_join": _j2_salted_join,
     }
 
 
@@ -986,6 +1073,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 10
+        """,
+        "src_tab_extractions": f"""
+            WITH raw AS (
+                SELECT * FROM read_csv('{_ensure_tab_fixture()}',
+                    delim='\t', header=false, quote='',
+                    auto_detect=false, null_padding=true,
+                    columns={{'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
+                              'c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
+                              'c6':'VARCHAR'}})
+            )
+            SELECT CAST(regexp_extract(c0, {_TAB_REX}, 1) AS INTEGER) AS arg1_start,
+                   CAST(regexp_extract(c0, {_TAB_REX}, 2) AS INTEGER) AS arg1_end,
+                   CAST(regexp_extract(c1, {_TAB_REX}, 1) AS INTEGER) AS rel_start,
+                   CAST(regexp_extract(c1, {_TAB_REX}, 2) AS INTEGER) AS rel_end,
+                   CAST(regexp_extract(c2, {_TAB_REX}, 1) AS INTEGER) AS arg2_start,
+                   CAST(regexp_extract(c2, {_TAB_REX}, 2) AS INTEGER) AS arg2_end,
+                   c3 AS token_str, c4 AS tag_str,
+                   CASE WHEN c6 = 'None' THEN '' ELSE c6 END AS url
+            FROM raw WHERE regexp_matches(c0, {_TAB_REX})
+        """,
+        "j2_salted_join": """
+            SELECT c_mktsegment, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
     }
 

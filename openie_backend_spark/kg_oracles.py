@@ -515,6 +515,14 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    coalesce(array_to_string(arg2_texts, ' | '), '') AS arg2s
             FROM read_parquet('{p["nary_synth"]}')
         """,
+        # M4 stream splitter: verb-mediated ('T' n-ary + 'R' relclause)
+        # vs noun-mediated ('N') routing re-derived as a CASE over the
+        # same mirror rows the Spark side re-extracts distributed.
+        "m4_split_streams": f"""
+            SELECT CASE WHEN kind IN ('T','R') THEN 'verb' ELSE 'noun' END AS stream,
+                   count(*) AS cnt, count(DISTINCT rel_norm) AS n_rels
+            FROM read_parquet('{p["nary_synth"]}') GROUP BY 1
+        """,
         "mm_features": f"""
             SELECT media_id, payload_bytes, round(feat_sum_raw, 4) AS feat_sum
             FROM read_parquet('{p["mm_features"]}')

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 
 def _interval(col, part: int):
-    return F.regexp_extract(col, r"[\[{](\d+), (\d+)[)\]}]", part).cast("int")
+    # regexp_extract yields '' on non-matching (malformed) lines;
+    # try_cast maps that to NULL instead of an ANSI cast error, and the
+    # reader's arg1_start IS NOT NULL filter then drops the line
+    return F.regexp_extract(col, r"[\[{](\d+), (\d+)[)\]}]", part).try_cast("int")
 
 
 def read_extractions_tab(spark: SparkSession, path: str) -> DataFrame:

@@ -68,6 +68,13 @@ TEMPLATES = [
     ("{a} invented {b} .", "person", "invention"),
     ("{a} moved to {b} .", "person", "city"),
     ("{a} is a subsidiary of {b} .", "company", "company"),
+    # noun-mediated (relnoun 'N') and relative-clause ('R')
+    # constructions so the second-extractor stream splitter sees every
+    # kind on the synthetic corpus, not only 'T'
+    ("{a} CEO {b} announced a partnership with Omni Consumer Products .",
+     "company", "person"),
+    ("{b} , the founder of {a} , lives in Arkham .", "company", "person"),
+    ("{a} , who works for {b} , moved to Emerald City .", "person", "company"),
 ]
 INVENTIONS = ["the widget", "the gadget", "the flux capacitor", "the sprocket",
               "the doohickey"]

@@ -105,6 +105,33 @@ def main():
          r"TakeOrderedAndProject", True),
     ])
 
+    # 7. Salted join (J2): join keys carry the salt, right side exploded
+    audit("j2_salted_join", qs["j2_salted_join"](spark, sf_dir), [
+        ("join condition includes the salt column", r"_salt", True),
+        ("right side exploded over salt buckets", r"explode\(", True),
+        ("no cartesian/nested-loop join", r"CartesianProduct|BroadcastNestedLoop", False),
+    ])
+
+    # 8. Tab source (S1/M12): JVM split/regexp only, single stage
+    audit("src_tab_extractions", qs["src_tab_extractions"](spark, sf_dir), [
+        ("no Python UDF in the parse path",
+         r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("no shuffle (pure per-line projection)",
+         r"Arguments: hashpartitioning", False),
+    ])
+
+    # 9. Frontend regroup (G3 stage 2): one hash exchange on the
+    # frontend key shared by the window and the groupBy
+    # (the plan embeds the linker chain, whose 1-row idf-total
+    # crossJoin(broadcast(...)) is an intentional BroadcastNestedLoop —
+    # assert no CartesianProduct, as the kg_linked audit does)
+    fr = qs["kg_frontend_regroup"](spark, sf_dir)
+    audit("kg_frontend_regroup", fr, [
+        ("partitioned on the frontend key",
+         r"hashpartitioning\(arg1_frontend", True),
+        ("no cartesian join", r"CartesianProduct", False),
+    ])
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:

@@ -339,8 +339,11 @@ def write_report(pairs, n, mult, sf_dir, mh_eff, base_docs):
 **Headline (median of {n_pairs} interleaved A/B pairs): KG pipeline
 N→4N scaling efficiency raw = {_fmt(raw_med)}; host-ceiling-normalized =
 {_fmt(norm_med)}; marginal = {_fmt(marg_med)} (gate ≥ 0.8).** MinHash
-dedup efficiency = {mh_eff:.3f}. Median host ceiling during this run:
-{_fmt(ceil_med)}.
+dedup efficiency = {mh_eff:.3f} (side metric on the quarter-size
+corpus — a seconds-long, constant-dominated job at this input size, so
+the ratio mostly measures per-job overhead; `BENCH/NEARDUP.md` carries
+the scale evidence for the dedup family). Median host ceiling during
+this run: {_fmt(ceil_med)}.
 
 {pooled}
 
