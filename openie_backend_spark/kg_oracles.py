@@ -515,11 +515,12 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    coalesce(array_to_string(arg2_texts, ' | '), '') AS arg2s
             FROM read_parquet('{p["nary_synth"]}')
         """,
-        # M4 stream splitter: verb-mediated ('T' n-ary + 'R' relclause)
-        # vs noun-mediated ('N') routing re-derived as a CASE over the
-        # same mirror rows the Spark side re-extracts distributed.
+        # M4 stream splitter: verb-mediated ('T' n-ary + 'R' relclause
+        # + 'C' clausal complement) vs noun-mediated ('N') routing
+        # re-derived as a CASE over the same mirror rows the Spark side
+        # re-extracts distributed.
         "m4_split_streams": f"""
-            SELECT CASE WHEN kind IN ('T','R') THEN 'verb' ELSE 'noun' END AS stream,
+            SELECT CASE WHEN kind IN ('T','R','C') THEN 'verb' ELSE 'noun' END AS stream,
                    count(*) AS cnt, count(DISTINCT rel_norm) AS n_rels
             FROM read_parquet('{p["nary_synth"]}') GROUP BY 1
         """,

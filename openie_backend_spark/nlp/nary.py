@@ -21,6 +21,16 @@ extraction *shapes* on top of our chunk layers:
   left NP ("radium won the Nobel Prize"); this pass re-attaches matrix-
   clause extractions whose arg1 fell inside a ", who/which ... ,"
   bracket to the clause's head NP (Marie Curie).
+* ``conj_extract``: srlie's coordination depth at chunk level —
+  coordinated subjects ("Acme and Globex announced X" also yields the
+  first conjunct as subject) and shared-subject VP coordination
+  ("Acme acquired Globex ... and sold Initech": the post-CC verb's
+  subject is re-attached to the pre-CC extraction's subject when the
+  shallow pass grabbed the first verb's object).
+* ``ccomp_extract``: clausal complements of report/epistemic verbs —
+  "The report said that Acme acquired Globex" → (The report, said,
+  [that-clause]) with kind ``C``; the clause-internal triple still
+  comes out of the plain pass.
 
 Pure Python; wrapped by ``operators/nary.py``.
 """
@@ -120,6 +130,98 @@ def relclause_extract(tokens, pos, chunks) -> list[RelClauseExtraction]:
             ):
                 out.append(RelClauseExtraction(head, e.rel, e.arg2))
                 break
+    return out
+
+
+def conj_extract(tokens, pos, chunks, base=None) -> list[NaryExtraction]:
+    """Coordination repairs (chunk-level analog of srlie's conj
+    arguments). Emits only EXTRA rows; the base extractions stand.
+
+    * Coordinated subjects — ``NP1 CC NP2 V …``: the shallow pass
+      yields only the nearest conjunct (NP2); emit a copy with NP1.
+    * Shared-subject VP coordination — ``NP V1 O1 … CC V2 O2``: the
+      shallow pass gives V2 the nearest left NP, which may be V1's
+      object ("Acme acquired Globex in 2006 and sold Initech" →
+      "Globex sold Initech"); when V2's chosen subject sits inside a
+      pre-CC extraction's object/attachment region, emit a copy with
+      that extraction's subject.
+    """
+    if base is None:
+        base = nary_extract(tokens, pos, chunks)
+    nps = _np_spans(chunks)
+    out: list[NaryExtraction] = []
+    seen = {(e.arg1, e.rel[0], e.rel[1]) for e in base}
+
+    def emit(arg1, e):
+        key = (arg1, e.rel[0], e.rel[1])
+        if key not in seen:
+            seen.add(key)
+            out.append(NaryExtraction(arg1, e.rel, e.arg2s))
+
+    for e in base:
+        s = e.arg1[0]
+        # subject coordination: NP' CC [arg1 ...
+        if s >= 2 and pos[s - 1] == "CC":
+            np1 = next(((a, b) for a, b in nps if b == s - 1), None)
+            if np1 is not None:
+                emit(np1, e)
+        # VP coordination: CC immediately left of this rel's verb chain
+        j = e.rel[0] - 1
+        if j >= 1 and pos[j] == "CC":
+            donors = [
+                d for d in base
+                if d.rel[1] <= j and d.arg1[1] <= d.rel[0]
+                and any(a <= e.arg1[0] < b for a, b in d.arg2s)
+            ]
+            if donors:
+                donor = max(donors, key=lambda d: d.rel[0])
+                emit(donor.arg1, e)
+    return out
+
+
+class CcompExtraction(NamedTuple):
+    arg1: tuple[int, int]          # matrix subject NP
+    rel: tuple[int, int]           # matrix verb chain
+    arg2: tuple[int, int]          # complement clause, from "that"
+
+
+# report/epistemic verbs that take that-clause complements (srlie gets
+# these from the parse; a closed class keeps chunk-level precision)
+CCOMP_VERBS = frozenset(
+    """say said says saying announce announced announces report reported
+    reports claim claimed claims believe believed believes state stated
+    states note noted notes add added adds argue argued argues warn
+    warned warns confirm confirmed confirms deny denied denies suggest
+    suggested suggests show showed shows shown find found finds think
+    thought thinks know knew knows insist insisted insists estimate
+    estimated estimates reveal revealed reveals""".split()
+)
+
+
+def ccomp_extract(tokens, pos, chunks) -> list[CcompExtraction]:
+    """``NP V[report-class] that S`` → (NP, V, that-clause)."""
+    n = len(tokens)
+    nps = _np_spans(chunks)
+    out = []
+    for i in range(n - 2):
+        if chunks[i] != "B-VP":
+            continue
+        k = i + 1
+        while k < n and chunks[k] == "I-VP":
+            k += 1
+        if tokens[k - 1].lower() not in CCOMP_VERBS:
+            continue
+        if k >= n or tokens[k].lower() != "that":
+            continue
+        subj = next(((a, b) for a, b in nps if b == i), None)
+        if subj is None:
+            continue
+        end = n
+        while end > k and pos[end - 1] in (".", ",", ":"):
+            end -= 1
+        if end - k < 4:  # complementizer + a real clause
+            continue
+        out.append(CcompExtraction(subj, (i, k), (k, end)))
     return out
 
 

@@ -1,8 +1,9 @@
 """Spark operators for the n-ary / noun-mediated extraction surface
 (M3/M4): the OpenIE-4-shaped second extractor stack, emitting tagged
-rows (``kind`` = 'T' ReVerb triple-with-attachments, 'N' noun-mediated,
-'R' relative-clause re-attachment) so the stream splitter (M4) is a
-plain column filter.
+rows (``kind`` = 'T' ReVerb triple-with-attachments incl. coordination
+repairs, 'N' noun-mediated, 'R' relative-clause re-attachment, 'C'
+clausal complement) so the stream splitter (M4) is a plain column
+filter.
 """
 
 from __future__ import annotations
@@ -43,7 +44,8 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for sid, sent in enumerate(chunker.split_sentences(text)):
                 toks, tags, chks = chunker.chunk_sentence(sent)
                 seg = lambda a, b: (toks[a:b], tags[a:b])
-                for e in nary.nary_extract(toks, tags, chks):
+                base = nary.nary_extract(toks, tags, chks)
+                for e in base + nary.conj_extract(toks, tags, chks, base):
                     a1 = " ".join(toks[e.arg1[0]:e.arg1[1]])
                     rel = " ".join(toks[e.rel[0]:e.rel[1]])
                     a2s = [" ".join(toks[a:b]) for a, b in e.arg2s]
@@ -54,6 +56,19 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             stemmer.index_key_part(*seg(*e.rel)),
                             stemmer.index_key_part(*seg(*e.arg2s[0])),
                             0.7,
+                        )
+                    )
+                for cc in nary.ccomp_extract(toks, tags, chks):
+                    a1 = " ".join(toks[cc.arg1[0]:cc.arg1[1]])
+                    rel = " ".join(toks[cc.rel[0]:cc.rel[1]])
+                    a2 = " ".join(toks[cc.arg2[0]:cc.arg2[1]])
+                    rows.append(
+                        (
+                            url, sid, "C", a1, rel, [a2],
+                            stemmer.index_key_part(*seg(*cc.arg1)),
+                            stemmer.index_key_part(*seg(*cc.rel)),
+                            stemmer.index_key_part(*seg(*cc.arg2)),
+                            0.55,
                         )
                     )
                 for r in nary.relnoun_extract(toks, tags, chks):
@@ -91,8 +106,9 @@ def extract_nary(pages: DataFrame, lang: str = "en") -> DataFrame:
 
 def split_streams(extractions: DataFrame) -> tuple[DataFrame, DataFrame]:
     """M4: route by kind tag — verb-mediated rows ('T' n-ary, 'R'
-    relative-clause re-attachments) vs noun-mediated ('N')."""
+    relative-clause re-attachments, 'C' clausal complements) vs
+    noun-mediated ('N')."""
     return (
-        extractions.filter(F.col("kind").isin("T", "R")),
+        extractions.filter(F.col("kind").isin("T", "R", "C")),
         extractions.filter(F.col("kind") == "N"),
     )

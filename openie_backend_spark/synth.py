@@ -75,6 +75,10 @@ TEMPLATES = [
      "company", "person"),
     ("{b} , the founder of {a} , lives in Arkham .", "company", "person"),
     ("{a} , who works for {b} , moved to Emerald City .", "person", "company"),
+    # clausal complement ('C') + coordinated subjects (conj repair)
+    ("{a} announced that {b} acquired Omni Consumer Products .",
+     "company", "company"),
+    ("{a} and {b} announced a merger in March .", "company", "company"),
 ]
 INVENTIONS = ["the widget", "the gadget", "the flux capacitor", "the sprocket",
               "the doohickey"]

@@ -54,6 +54,19 @@ GOLD = [
      "R", "Acme Corp", "is based in", ["Springfield"]),
     ("Bob Smith , who founded Initech , lives in Springfield .",
      "R", "Bob Smith", "lives in", ["Springfield"]),
+    # coordinated subjects (conj repair: first conjunct also subject)
+    ("Acme Corp and Globex announced a merger in March .",
+     "T", "Acme Corp", "announced", ["a merger", "in March"]),
+    # shared-subject VP coordination (post-CC verb re-attached)
+    ("Acme Corp acquired Globex in 2006 and sold Initech in 2008 .",
+     "T", "Acme Corp", "sold", ["Initech", "in 2008"]),
+    ("Initech bought the plant in 1999 and closed the office in 2001 .",
+     "T", "Initech", "closed", ["the office", "in 2001"]),
+    # clausal complements of report verbs
+    ("The report said that Acme Corp acquired Globex .",
+     "C", "The report", "said", ["that Acme Corp acquired Globex"]),
+    ("Globex confirmed that the deal closed in March .",
+     "C", "Globex", "confirmed", ["that the deal closed in March"]),
 ]
 
 
@@ -61,9 +74,12 @@ def _predicted(sentence):
     toks, tags, chks = chunker.chunk_sentence(sentence)
     out = set()
     join = lambda a, b: " ".join(toks[a:b])
-    for e in nary.nary_extract(toks, tags, chks):
+    base = nary.nary_extract(toks, tags, chks)
+    for e in base + nary.conj_extract(toks, tags, chks, base):
         out.add(("T", join(*e.arg1), join(*e.rel),
                  tuple(join(a, b) for a, b in e.arg2s)))
+    for c in nary.ccomp_extract(toks, tags, chks):
+        out.add(("C", join(*c.arg1), join(*c.rel), (join(*c.arg2),)))
     for r in nary.relnoun_extract(toks, tags, chks):
         out.add(("N", join(*r.arg1), r.rel_text, (join(*r.arg2),)))
     for rc in nary.relclause_extract(toks, tags, chks):
