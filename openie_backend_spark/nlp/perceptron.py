@@ -42,21 +42,39 @@ def _normalize(word: str) -> str:
     return word.lower()
 
 
+def _shape(word: str) -> str:
+    """Collapsed character-class shape: 'McRae-1' → 'XxXx-d'."""
+    out = []
+    last = ""
+    for ch in word[:12]:
+        c = "X" if ch.isupper() else "x" if ch.islower() else \
+            "d" if ch.isdigit() else ch
+        if c != last:
+            out.append(c)
+            last = c
+    return "".join(out)
+
+
 def _features(i: int, word: str, context: list[str], prev: str, prev2: str):
-    """Feature template (Collins/Honnibal). ``context`` is the
-    normalized token list padded with two boundary markers each side,
-    so ``context[i+2]`` is the current word."""
+    """Feature template (Collins/Honnibal, plus suffix-4/prefix-2/3 and
+    a collapsed word-shape feature). ``context`` is the normalized
+    token list padded with two boundary markers each side, so
+    ``context[i+2]`` is the current word."""
     j = i + 2
     w = context[j]
     feats = [
         "b",  # bias
+        "s4 " + w[-4:],
         "s3 " + w[-3:],
         "s2 " + w[-2:],
         "p1 " + w[:1],
+        "p2 " + w[:2],
+        "p3 " + w[:3],
         "t1 " + prev,
         "t2 " + prev2,
         "t12 " + prev + " " + prev2,
         "w " + w,
+        "sh " + _shape(word),
         "t1w " + prev + " " + w,
         "t1s3 " + prev + " " + w[-3:],
         "-1w " + context[j - 1],
@@ -100,18 +118,30 @@ class PerceptronTagger:
     def __init__(self):
         self.weights: dict[str, dict[str, float]] = {}
         self.single_tag: dict[str, str] = {}
+        self.tag_dict: dict[str, list[str]] = {}
         self.tags: list[str] = []
         self._tags_desc: list[str] = []
 
     # ------------------------------------------------------ inference
 
-    def _predict(self, feats) -> str:
+    def _predict(self, feats, allowed: list[str] | None = None) -> str:
         scores: dict[str, float] = {}
         for f in feats:
             w = self.weights.get(f)
             if w:
                 for tag, v in w.items():
                     scores[tag] = scores.get(tag, 0.0) + v
+        if allowed:
+            # tag-dictionary constraint: a frequent word can only take
+            # tags it was ever seen with (classic dictionary decode) —
+            # impossible tags never compete
+            bt = allowed[0]
+            bv = scores.get(bt, 0.0)
+            for t in allowed[1:]:
+                v = scores.get(t, 0.0)
+                if v > bv or (v == bv and t > bt):
+                    bv, bt = v, t
+            return bt
         if not self._tags_desc:
             self._tags_desc = sorted(self.tags, reverse=True)
         return _argmax_tag(scores, self._tags_desc, "NN")
@@ -121,9 +151,13 @@ class PerceptronTagger:
         context = ["_S2", "_S1"] + [_normalize(t) for t in tokens] + ["_E1", "_E2"]
         prev, prev2 = "-START-", "-START2-"
         for i, word in enumerate(tokens):
-            t = self.single_tag.get(_normalize(word))
+            norm = _normalize(word)
+            t = self.single_tag.get(norm)
             if t is None:
-                t = self._predict(_features(i, word, context, prev, prev2))
+                t = self._predict(
+                    _features(i, word, context, prev, prev2),
+                    self.tag_dict.get(norm),
+                )
             out.append(t)
             prev2, prev = prev, t
         return out
@@ -146,11 +180,15 @@ class PerceptronTagger:
                 tagset.add(t)
         self.tags = sorted(tagset)
         self.single_tag = {}
+        self.tag_dict = {}
         for w, tc in counts.items():
             total = sum(tc.values())
             tag, n = max(tc.items(), key=lambda kv: (kv[1], kv[0]))
             if total >= min_freq and n / total >= ambiguity:
                 self.single_tag[w] = tag
+            elif total >= min_freq:
+                # ambiguous but frequent: decode over observed tags only
+                self.tag_dict[w] = sorted(tc)
 
         totals: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
         stamps: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
@@ -169,10 +207,11 @@ class PerceptronTagger:
                 prev, prev2 = "-START-", "-START2-"
                 for i, word in enumerate(toks):
                     instance += 1
-                    t = self.single_tag.get(_normalize(word))
+                    norm = _normalize(word)
+                    t = self.single_tag.get(norm)
                     if t is None:
                         feats = _features(i, word, context, prev, prev2)
-                        t = self._predict(feats)
+                        t = self._predict(feats, self.tag_dict.get(norm))
                         if t != gold[i]:
                             for f in feats:
                                 for tag, delta in ((gold[i], 1.0), (t, -1.0)):
@@ -202,6 +241,7 @@ class PerceptronTagger:
         blob = {
             "tags": self.tags,
             "single_tag": self.single_tag,
+            "tag_dict": self.tag_dict,
             "weights": self.weights,
         }
         with gzip.open(path, "wt", encoding="utf-8") as fh:
@@ -214,6 +254,7 @@ class PerceptronTagger:
         t = cls()
         t.tags = blob["tags"]
         t.single_tag = blob["single_tag"]
+        t.tag_dict = blob.get("tag_dict", {})
         t.weights = blob["weights"]
         return t
 
