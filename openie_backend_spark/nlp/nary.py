@@ -31,6 +31,9 @@ extraction *shapes* on top of our chunk layers:
   "The report said that Acme acquired Globex" → (The report, said,
   [that-clause]) with kind ``C``; the clause-internal triple still
   comes out of the plain pass.
+* ``passive_extract``: active-voice normalization of agentive
+  passives — "Globex was acquired by Acme Corp" also yields
+  (Acme Corp, acquired, Globex).
 
 Pure Python; wrapped by ``operators/nary.py``.
 """
@@ -176,6 +179,37 @@ def conj_extract(tokens, pos, chunks, base=None) -> list[NaryExtraction]:
             if donors:
                 donor = max(donors, key=lambda d: d.rel[0])
                 emit(donor.arg1, e)
+    return out
+
+
+_BE_FORMS = frozenset({"be", "is", "are", "was", "were", "been", "being"})
+
+
+def passive_extract(tokens, pos, chunks, base=None) -> list[NaryExtraction]:
+    """Active-voice normalization of agentive passives (srlie emits
+    the role-normalized form from the parse): a base extraction whose
+    relation is ``be-form … VBN … by`` — "Globex was acquired by Acme
+    Corp in 2006" → (Globex, was acquired by, Acme Corp) — also yields
+    the active triple (Acme Corp, acquired, [Globex, in 2006]).
+    Agentless passives (no ``by``) have no recoverable agent and pass
+    through untouched."""
+    if base is None:
+        base = nary_extract(tokens, pos, chunks)
+    out = []
+    for e in base:
+        r0, r1 = e.rel
+        if r1 - r0 < 3 or not e.arg2s:
+            continue
+        if tokens[r0].lower() not in _BE_FORMS:
+            continue
+        if tokens[r1 - 1].lower() != "by":
+            continue
+        vbn = next((i for i in range(r0 + 1, r1 - 1) if pos[i] == "VBN"), None)
+        if vbn is None:
+            continue
+        # active rel = the participle span up to (not incl.) "by"
+        out.append(NaryExtraction(e.arg2s[0], (vbn, r1 - 1),
+                                  [e.arg1] + e.arg2s[1:]))
     return out
 
 

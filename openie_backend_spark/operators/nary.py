@@ -45,7 +45,9 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 toks, tags, chks = chunker.chunk_sentence(sent)
                 seg = lambda a, b: (toks[a:b], tags[a:b])
                 base = nary.nary_extract(toks, tags, chks)
-                for e in base + nary.conj_extract(toks, tags, chks, base):
+                extra = (nary.conj_extract(toks, tags, chks, base)
+                         + nary.passive_extract(toks, tags, chks, base))
+                for e in base + extra:
                     a1 = " ".join(toks[e.arg1[0]:e.arg1[1]])
                     rel = " ".join(toks[e.rel[0]:e.rel[1]])
                     a2s = [" ".join(toks[a:b]) for a, b in e.arg2s]

@@ -79,6 +79,8 @@ TEMPLATES = [
     ("{a} announced that {b} acquired Omni Consumer Products .",
      "company", "company"),
     ("{a} and {b} announced a merger in March .", "company", "company"),
+    # agentive passive (active-normalized by passive_extract)
+    ("{a} was acquired by {b} in 2006 .", "company", "company"),
 ]
 INVENTIONS = ["the widget", "the gadget", "the flux capacitor", "the sprocket",
               "the doohickey"]

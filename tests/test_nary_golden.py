@@ -67,6 +67,11 @@ GOLD = [
      "C", "The report", "said", ["that Acme Corp acquired Globex"]),
     ("Globex confirmed that the deal closed in March .",
      "C", "Globex", "confirmed", ["that the deal closed in March"]),
+    # agentive-passive active normalization
+    ("Globex was acquired by Acme Corp in 2006 .",
+     "T", "Acme Corp", "acquired", ["Globex", "in 2006"]),
+    ("The factory was built by Initech in 1950 .",
+     "T", "Initech", "built", ["The factory", "in 1950"]),
 ]
 
 
@@ -75,7 +80,9 @@ def _predicted(sentence):
     out = set()
     join = lambda a, b: " ".join(toks[a:b])
     base = nary.nary_extract(toks, tags, chks)
-    for e in base + nary.conj_extract(toks, tags, chks, base):
+    extra = (nary.conj_extract(toks, tags, chks, base)
+             + nary.passive_extract(toks, tags, chks, base))
+    for e in base + extra:
         out.add(("T", join(*e.arg1), join(*e.rel),
                  tuple(join(a, b) for a, b in e.arg2s)))
     for c in nary.ccomp_extract(toks, tags, chks):
