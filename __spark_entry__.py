@@ -608,28 +608,30 @@ def _ensure_tab_fixture() -> str:
     intervals, three space-joined aligned token layers, url —
     ``models/.../ReVerbExtraction.scala:137-147``), for the S1/M12
     source oracle. Includes a ``None`` url row and a malformed line
-    that both readers must drop."""
-    if not os.path.exists(_TAB_FIXTURE):
-        words = ["alpha", "beta", "gamma", "delta",
-                 "epsilon", "zeta", "eta", "theta"]
-        lines = []
-        for i in range(40):
-            n = 5 + i % 4
-            toks = [words[(i + j) % 8] for j in range(n)]
-            tags = ["NNP" if j == 0 else ("VBZ" if j == 2 else "NN")
-                    for j in range(n)]
-            chks = ["B-NP" if j in (0, 3) else ("B-VP" if j == 2 else "I-NP")
-                    for j in range(n)]
-            url = "None" if i % 7 == 0 else f"http://example.org/page/{i}"
-            lines.append("\t".join([
-                "[0, 2)", "[2, 3)", f"[3, {n})",
-                " ".join(toks), " ".join(tags), " ".join(chks), url,
-            ]))
-        lines.append("malformed line without tabs")
-        tmp = _TAB_FIXTURE + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-        os.replace(tmp, _TAB_FIXTURE)
+    that both readers must drop. Regenerated unconditionally on every
+    call (it is 41 lines — an exists-check would let an edited
+    generator silently serve the stale /tmp file, the ADVICE-r2 synth
+    cache bug class)."""
+    words = ["alpha", "beta", "gamma", "delta",
+             "epsilon", "zeta", "eta", "theta"]
+    lines = []
+    for i in range(40):
+        n = 5 + i % 4
+        toks = [words[(i + j) % 8] for j in range(n)]
+        tags = ["NNP" if j == 0 else ("VBZ" if j == 2 else "NN")
+                for j in range(n)]
+        chks = ["B-NP" if j in (0, 3) else ("B-VP" if j == 2 else "I-NP")
+                for j in range(n)]
+        url = "None" if i % 7 == 0 else f"http://example.org/page/{i}"
+        lines.append("\t".join([
+            "[0, 2)", "[2, 3)", f"[3, {n})",
+            " ".join(toks), " ".join(tags), " ".join(chks), url,
+        ]))
+    lines.append("malformed line without tabs")
+    tmp = f"{_TAB_FIXTURE}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, _TAB_FIXTURE)
     return _TAB_FIXTURE
 
 

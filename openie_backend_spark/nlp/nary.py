@@ -67,11 +67,15 @@ class RelnounExtraction(NamedTuple):
     arg2: tuple[int, int]          # the anchor entity
 
 
-def nary_extract(tokens, pos, chunks) -> list[NaryExtraction]:
-    """Binary extractions + trailing (P NP)* attachments."""
+def nary_extract(tokens, pos, chunks, triples=None) -> list[NaryExtraction]:
+    """Binary extractions + trailing (P NP)* attachments. ``triples``
+    lets the caller pass precomputed ``reverb.extract`` output so the
+    expensive pass runs once per sentence."""
     out = []
     n = len(tokens)
-    for e in reverb.extract(tokens, pos, chunks):
+    if triples is None:
+        triples = reverb.extract(tokens, pos, chunks)
+    for e in triples:
         arg2s = [e.arg2]
         i = e.arg2[1]
         while i < n and pos[i] in ("IN", "TO") and tokens[i].lower() not in reverb.SUBORDINATORS:
@@ -101,7 +105,7 @@ class RelClauseExtraction(NamedTuple):
 _WH_WORDS = frozenset({"who", "whom", "which", "whose", "that"})
 
 
-def relclause_extract(tokens, pos, chunks) -> list[RelClauseExtraction]:
+def relclause_extract(tokens, pos, chunks, triples=None) -> list[RelClauseExtraction]:
     """Matrix-verb re-attachment across ``NP , who/which … ,``
     brackets (see module docstring). Emits only the CORRECTED matrix
     extraction — the clause-internal triple ("Marie Curie discovered
@@ -123,7 +127,9 @@ def relclause_extract(tokens, pos, chunks) -> list[RelClauseExtraction]:
         brackets.append((head, i, close))
     if not brackets:
         return out
-    for e in reverb.extract(tokens, pos, chunks):
+    if triples is None:
+        triples = reverb.extract(tokens, pos, chunks)
+    for e in triples:
         for head, open_c, close_c in brackets:
             # matrix verb after the bracket, arg1 wrongly inside it
             if (
@@ -163,14 +169,18 @@ def conj_extract(tokens, pos, chunks, base=None) -> list[NaryExtraction]:
 
     for e in base:
         s = e.arg1[0]
-        # subject coordination: NP' CC [arg1 ...
-        if s >= 2 and pos[s - 1] == "CC":
+        # subject coordination: NP' and [arg1 ... — conjunction only:
+        # "Acme or Globex announced X" does not assert (Acme,
+        # announced, X), so 'or'/'nor' must not fire this repair
+        if s >= 2 and pos[s - 1] == "CC" and tokens[s - 1].lower() == "and":
             np1 = next(((a, b) for a, b in nps if b == s - 1), None)
             if np1 is not None:
                 emit(np1, e)
-        # VP coordination: CC immediately left of this rel's verb chain
+        # VP coordination: CC immediately left of this rel's verb
+        # chain; 'and'/'but' share the subject ("acquired X but sold
+        # Y"), disjunctions stay out for the same reason as above
         j = e.rel[0] - 1
-        if j >= 1 and pos[j] == "CC":
+        if j >= 1 and pos[j] == "CC" and tokens[j].lower() in ("and", "but"):
             donors = [
                 d for d in base
                 if d.rel[1] <= j and d.arg1[1] <= d.rel[0]

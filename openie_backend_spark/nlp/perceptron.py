@@ -114,11 +114,17 @@ def _argmax_tag(scores: dict[str, float], tags_desc: list[str], default: str) ->
     return bt
 
 
-class PerceptronTagger:
+class _AveragedPerceptron:
+    """Shared averaged-perceptron core (sparse weights, on-error
+    update with lazily-propagated averaging, constrained argmax).
+    Subclasses own the feature templates, the decode loop, and model
+    io; they drive training through ``_begin_training`` /
+    ``_update`` / ``_finalize_training``."""
+
+    default_tag = "NN"
+
     def __init__(self):
         self.weights: dict[str, dict[str, float]] = {}
-        self.single_tag: dict[str, str] = {}
-        self.tag_dict: dict[str, list[str]] = {}
         self.tags: list[str] = []
         self._tags_desc: list[str] = []
 
@@ -144,7 +150,58 @@ class PerceptronTagger:
             return bt
         if not self._tags_desc:
             self._tags_desc = sorted(self.tags, reverse=True)
-        return _argmax_tag(scores, self._tags_desc, "NN")
+        return _argmax_tag(scores, self._tags_desc, self.default_tag)
+
+    # ------------------------------------------------------- training
+
+    def _begin_training(self, tagset) -> None:
+        self.tags = sorted(tagset)
+        self._tags_desc = []
+        self._totals = defaultdict(lambda: defaultdict(float))
+        self._stamps = defaultdict(lambda: defaultdict(int))
+        self.weights = defaultdict(lambda: defaultdict(float))
+        self._instance = 0
+
+    def _update(self, gold: str, pred: str, feats) -> None:
+        """On-error perceptron update with the lazy-averaging trick:
+        each touched (feature, tag) cell first banks its current value
+        over the instances since it last changed."""
+        if pred == gold:
+            return
+        for f in feats:
+            for tag, delta in ((gold, 1.0), (pred, -1.0)):
+                self._totals[f][tag] += (
+                    self._instance - self._stamps[f][tag]
+                ) * self.weights[f][tag]
+                self._stamps[f][tag] = self._instance
+                self.weights[f][tag] += delta
+
+    def _finalize_training(self) -> None:
+        averaged: dict[str, dict[str, float]] = {}
+        for f, tw in self.weights.items():
+            row = {}
+            for tag, w in tw.items():
+                total = self._totals[f][tag] + (
+                    self._instance - self._stamps[f][tag]
+                ) * w
+                avg = round(total / self._instance, 4)
+                if avg:
+                    row[tag] = avg
+            if row:
+                averaged[f] = row
+        self.weights = averaged
+        del self._totals, self._stamps, self._instance
+
+
+class PerceptronTagger(_AveragedPerceptron):
+    default_tag = "NN"
+
+    def __init__(self):
+        super().__init__()
+        self.single_tag: dict[str, str] = {}
+        self.tag_dict: dict[str, list[str]] = {}
+
+    # ------------------------------------------------------ inference
 
     def tag(self, tokens: list[str]) -> list[str]:
         out: list[str] = []
@@ -178,7 +235,6 @@ class PerceptronTagger:
             for w, t in zip(toks, tags):
                 counts[_normalize(w)][t] += 1
                 tagset.add(t)
-        self.tags = sorted(tagset)
         self.single_tag = {}
         self.tag_dict = {}
         for w, tc in counts.items():
@@ -190,11 +246,7 @@ class PerceptronTagger:
                 # ambiguous but frequent: decode over observed tags only
                 self.tag_dict[w] = sorted(tc)
 
-        totals: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
-        stamps: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
-        weights: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
-        self.weights = weights
-        instance = 0
+        self._begin_training(tagset)
         rng = random.Random(seed)
         order = list(range(len(sentences)))
         for _ in range(epochs):
@@ -206,34 +258,16 @@ class PerceptronTagger:
                 )
                 prev, prev2 = "-START-", "-START2-"
                 for i, word in enumerate(toks):
-                    instance += 1
+                    self._instance += 1
                     norm = _normalize(word)
                     t = self.single_tag.get(norm)
                     if t is None:
                         feats = _features(i, word, context, prev, prev2)
                         t = self._predict(feats, self.tag_dict.get(norm))
-                        if t != gold[i]:
-                            for f in feats:
-                                for tag, delta in ((gold[i], 1.0), (t, -1.0)):
-                                    totals[f][tag] += (
-                                        instance - stamps[f][tag]
-                                    ) * weights[f][tag]
-                                    stamps[f][tag] = instance
-                                    weights[f][tag] += delta
+                        self._update(gold[i], t, feats)
                     # gold tags feed the history during training
                     prev2, prev = prev, gold[i]
-        # average
-        averaged: dict[str, dict[str, float]] = {}
-        for f, tw in weights.items():
-            row = {}
-            for tag, w in tw.items():
-                total = totals[f][tag] + (instance - stamps[f][tag]) * w
-                avg = round(total / instance, 4)
-                if avg:
-                    row[tag] = avg
-            if row:
-                averaged[f] = row
-        self.weights = averaged
+        self._finalize_training()
 
     # ----------------------------------------------------------- io
 
@@ -295,27 +329,13 @@ def _chunk_features(i: int, words: list[str], pos: list[str], prev: str):
     return feats
 
 
-class PerceptronChunker:
-    """Same averaged-perceptron machinery as the tagger, emitting IOB
+class PerceptronChunker(_AveragedPerceptron):
+    """Same averaged-perceptron core as the tagger, emitting IOB
     chunk tags from (tokens, POS). Trained on the reference's gold
     chunk layers (OpenNLP output), so the raw path reproduces the
     chunking behavior the extractor's patterns were built against."""
 
-    def __init__(self):
-        self.weights: dict[str, dict[str, float]] = {}
-        self.tags: list[str] = []
-        self._tags_desc: list[str] = []
-
-    def _predict(self, feats) -> str:
-        scores: dict[str, float] = {}
-        for f in feats:
-            w = self.weights.get(f)
-            if w:
-                for tag, v in w.items():
-                    scores[tag] = scores.get(tag, 0.0) + v
-        if not self._tags_desc:
-            self._tags_desc = sorted(self.tags, reverse=True)
-        return _argmax_tag(scores, self._tags_desc, "O")
+    default_tag = "O"
 
     def chunk(self, tokens: list[str], pos: list[str]) -> list[str]:
         words = ["_S2", "_S1"] + [_normalize(t) for t in tokens] + ["_E1", "_E2"]
@@ -337,12 +357,7 @@ class PerceptronChunker:
         tagset = set()
         for _, _, chunks in sentences:
             tagset.update(chunks)
-        self.tags = sorted(tagset)
-        totals: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
-        stamps: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
-        weights: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
-        self.weights = weights
-        instance = 0
+        self._begin_training(tagset)
         rng = random.Random(seed)
         order = list(range(len(sentences)))
         for _ in range(epochs):
@@ -353,29 +368,12 @@ class PerceptronChunker:
                 ptags = ["_S2", "_S1"] + list(pos) + ["_E1", "_E2"]
                 prev = "-START-"
                 for i in range(len(toks)):
-                    instance += 1
+                    self._instance += 1
                     feats = _chunk_features(i, words, ptags, prev)
                     t = self._predict(feats)
-                    if t != gold[i]:
-                        for f in feats:
-                            for tag, delta in ((gold[i], 1.0), (t, -1.0)):
-                                totals[f][tag] += (
-                                    instance - stamps[f][tag]
-                                ) * weights[f][tag]
-                                stamps[f][tag] = instance
-                                weights[f][tag] += delta
+                    self._update(gold[i], t, feats)
                     prev = gold[i]
-        averaged: dict[str, dict[str, float]] = {}
-        for f, tw in weights.items():
-            row = {}
-            for tag, w in tw.items():
-                total = totals[f][tag] + (instance - stamps[f][tag]) * w
-                avg = round(total / instance, 4)
-                if avg:
-                    row[tag] = avg
-            if row:
-                averaged[f] = row
-        self.weights = averaged
+        self._finalize_training()
 
     def save(self, path: str = CHUNKER_MODEL_PATH) -> None:
         blob = {"tags": self.tags, "weights": self.weights}

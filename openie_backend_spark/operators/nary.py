@@ -18,7 +18,7 @@ from pyspark.sql.types import (
     ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
-from openie_backend_spark.nlp import chunker, nary, stemmer
+from openie_backend_spark.nlp import chunker, nary, reverb, stemmer
 
 NARY_SCHEMA = StructType(
     [
@@ -44,7 +44,8 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for sid, sent in enumerate(chunker.split_sentences(text)):
                 toks, tags, chks = chunker.chunk_sentence(sent)
                 seg = lambda a, b: (toks[a:b], tags[a:b])
-                base = nary.nary_extract(toks, tags, chks)
+                rv = reverb.extract(toks, tags, chks)
+                base = nary.nary_extract(toks, tags, chks, triples=rv)
                 extra = (nary.conj_extract(toks, tags, chks, base)
                          + nary.passive_extract(toks, tags, chks, base))
                 for e in base + extra:
@@ -85,7 +86,7 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             0.8,
                         )
                     )
-                for rc in nary.relclause_extract(toks, tags, chks):
+                for rc in nary.relclause_extract(toks, tags, chks, triples=rv):
                     a1 = " ".join(toks[rc.arg1[0]:rc.arg1[1]])
                     rel = " ".join(toks[rc.rel[0]:rc.rel[1]])
                     a2 = " ".join(toks[rc.arg2[0]:rc.arg2[1]])

@@ -15,12 +15,17 @@ parquet we emulate it with per-bucket dynamic partition overwrite
 Failure semantics of the parquet emulation (weaker than Iceberg, by
 construction): foreachBatch is at-least-once, and ``merge_groups``
 sums sizes, so a replay after a successful write but failed checkpoint
-commit would double-merge — a ``_batch_<id>.done`` marker per table is
-written after each successful merge and replayed batch ids are
-skipped. A crash in the MIDDLE of the multi-bucket write can still
-leave a subset of touched buckets rewritten (no cross-bucket atomicity
-on plain parquet); the real fix at cluster scale is the Iceberg
-catalog, where the whole merge is one snapshot commit.
+commit would double-merge. A ``_batch_<run>_<id>.done`` marker per
+table NARROWS (does not close) that window: the marker is written
+after the parquet commit, so a crash in the instant between commit and
+marker creation still double-merges on replay, and a crash in the
+MIDDLE of the multi-bucket write can leave a subset of touched buckets
+rewritten (no cross-bucket atomicity on plain parquet). Markers are
+namespaced by a run id stored inside the checkpoint directory, so
+batch ids from a deleted/replaced checkpoint (which restart at 0)
+never match a stale marker and silently skip fresh data. The real fix
+at cluster scale is the Iceberg catalog, where the whole merge is one
+snapshot commit and the batch id rides the commit metadata.
 
 The reference's probabilistic re-link schedule ("relink when
 size>1 && (size<5 || size%2==0)", ``IndexModifier.scala:89``) becomes
@@ -115,13 +120,28 @@ def run_incremental(
     batch). Untouched bucket files are left byte-identical, which the
     streaming test asserts."""
 
+    # Batch ids are unique only per checkpoint: a deleted or replaced
+    # checkpoint restarts them at 0, and a bare _batch_0.done from the
+    # previous run would silently skip ALL data of the new run's first
+    # batch. Namespace markers by a run id that lives (and dies) with
+    # the checkpoint directory itself.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    run_id_path = os.path.join(checkpoint_dir, "_ingest_run_id")
+    if not os.path.exists(run_id_path):
+        with open(run_id_path, "w") as fh:
+            fh.write(os.urandom(8).hex())
+    with open(run_id_path) as fh:
+        run_id = fh.read().strip()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # At-least-once replay guard: foreachBatch re-delivers a batch if
         # the write succeeded but the checkpoint commit did not; merging
         # twice would double instance lists and sizes. Spark's parquet
         # reader ignores underscore-prefixed files, and dynamic partition
         # overwrite only replaces bucket=NN dirs, so markers persist.
-        marker = os.path.join(groups_dir, f"_batch_{batch_id}.done")
+        # (Written AFTER the commit — narrows, not closes, the replay
+        # window; see module docstring.)
+        marker = os.path.join(groups_dir, f"_batch_{run_id}_{batch_id}.done")
         if os.path.exists(marker):
             return
         incoming = (

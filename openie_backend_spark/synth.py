@@ -246,11 +246,23 @@ def ensure_corpus(n_pages: int = DEFAULT_N_PAGES) -> str:
     d = corpus_cache_dir(n_pages)
     if not os.path.exists(os.path.join(d, "pages.parquet")):
         tmp = f"{d}.tmp.{os.getpid()}"
-        write_corpus(tmp, n_pages=n_pages)
         try:
-            os.rename(tmp, d)
-        except OSError:
+            write_corpus(tmp, n_pages=n_pages)
+            try:
+                os.rename(tmp, d)
+            except OSError:
+                pass  # lost a concurrent first-run race; d exists
+        finally:
+            # race loser or failed generation: never leave the
+            # pid-suffixed dir behind (generation errors still raise)
             shutil.rmtree(tmp, ignore_errors=True)
+        # prune caches keyed on superseded source versions — every
+        # tagger/synth edit creates a fresh dir and /tmp accretes
+        base = os.path.dirname(d)
+        me = os.path.basename(d)
+        for entry in os.listdir(base):
+            if entry.startswith("openie_synth_cache_") and entry != me:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     return d
 
 

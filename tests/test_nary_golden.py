@@ -94,6 +94,17 @@ def _predicted(sentence):
     return out
 
 
+def test_conj_repair_skips_disjunction():
+    """'Acme or Globex announced X' does not assert (Acme, announced,
+    X) — the subject-coordination repair must fire only on 'and'."""
+    toks, tags, chks = chunker.chunk_sentence(
+        "Acme Corp or Globex announced a merger in March .")
+    base = nary.nary_extract(toks, tags, chks)
+    extra = nary.conj_extract(toks, tags, chks, base)
+    arg1s = {" ".join(toks[e.arg1[0]:e.arg1[1]]) for e in extra}
+    assert "Acme Corp" not in arg1s
+
+
 def test_nary_golden_pr():
     tp = fn = 0
     misses = []
