@@ -666,6 +666,36 @@ def _m4_split_streams(spark, sf):
     )
 
 
+def _src_html_to_text(spark, sf):
+    """S-layer boilerplate stripping: visible text from raw ``html``
+    bytes (script/style/comment removal, tag strip, entity decode) —
+    pure JVM regexp chain, no Python (functions/text.html_to_text)."""
+    pages, _ = _synth(spark)
+    return pages.select(
+        "url", T.html_to_text("html").alias("clean_text")
+    ).withColumn("n_chars", F.length("clean_text"))
+
+
+def _html_to_text_oracle_sql() -> str:
+    """DuckDB mirror of the html_to_text regexp chain over the same
+    synth pages parquet (both engines accept the inline-flag
+    patterns; the chain itself IS the operator, like the LSH planes)."""
+    from openie_backend_spark import synth as _s
+    from openie_backend_spark.functions.text import HTML_STRIP_STEPS
+
+    pages = os.path.join(_s.ensure_corpus(), "pages.parquet")
+    expr = "decode(html)"
+    for pat, rep in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"""
+        SELECT url, trim({expr}) AS clean_text,
+               CAST(length(trim({expr})) AS INTEGER) AS n_chars
+        FROM read_parquet('{pages}')
+    """
+
+
 def _j2_salted_join(spark, sf):
     """J2: deterministic salted equi-join (functions/skew.salted_join,
     the TypeAttacher.scala:20-25 hot-key spread) — aggregate result is
@@ -735,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nary": _kg_nary,
         "mm_features": _mm_features,
         "src_tab_extractions": _src_tab_extractions,
+        "src_html_to_text": _src_html_to_text,
         "m4_split_streams": _m4_split_streams,
         "j2_salted_join": _j2_salted_join,
     }
@@ -1101,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
+        "src_html_to_text": _html_to_text_oracle_sql(),
     }
 
 

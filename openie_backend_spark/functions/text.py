@@ -111,3 +111,39 @@ def fingerprint(col: str | Column, n: int = 5) -> Column:
     grams = shingles(col, n)
     hashed = F.transform(grams, lambda g: F.md5(g))
     return F.array_min(hashed)
+
+
+# HTML boilerplate stripping: (pattern, replacement) pairs applied in
+# order, shared verbatim by the Spark column expression and the DuckDB
+# oracle (both engines accept (?is) inline flags and lazy quantifiers;
+# no backreferences — DuckDB's RE2 lacks them, hence separate
+# script/style patterns). Entity decode handles the common named
+# entities only; &amp; decodes LAST so "&amp;lt;" does not
+# double-decode.
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+)
+
+
+def html_to_text(col: str | Column) -> Column:
+    """Boilerplate-stripped visible text from raw HTML (the S-layer
+    step a Common-Crawl-style pipeline runs before extraction when
+    pages arrive as ``html`` bytes rather than pre-extracted ``text``):
+    drops script/style/comment content, strips tags, decodes common
+    entities, collapses whitespace. Pure JVM ``regexp_replace`` chain —
+    whole-stage codegen, no Python, scale-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")
+    for pat, rep in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)

@@ -148,12 +148,23 @@ def generate_pages(n_pages: int, seed: int = SEED) -> pd.DataFrame:
         lang = "en" if rng.random() < 0.85 else rng.choice(["de", "fr", "es"])
         url = f"http://crawl.example/{i:08d}"
         text = " ".join(sents)
+        # realistic page shell: script/style/comment boilerplate and
+        # entities the html_to_text operator must strip / decode
+        html = (
+            "<html><head><title>Page " + str(i) + "</title>"
+            "<style>body { margin: 0; }</style>"
+            "<script>var page = " + str(i) + ";</script></head>"
+            "<body><!-- header --><nav>Home &amp; About</nav>"
+            "<div class=\"main\">" + text + "</div>"
+            "<div class=\"footer\">&quot;footer&quot;&nbsp;text</div>"
+            "</body></html>"
+        )
         rows.append(
             {
                 "url": url,
                 "warc_ts": datetime(2026, 1, 1, tzinfo=timezone.utc)
                 + pd.Timedelta(seconds=i),
-                "html": ("<html><body>" + text + "</body></html>").encode(),
+                "html": html.encode(),
                 "text": text,
                 "lang": lang,
             }

@@ -336,3 +336,21 @@ def test_real_image_decode_with_pil(spark):
     assert 0.0 <= float(feat.min()) and float(feat.max()) <= 1.0
     # decoded from pixels (monotone grid), not the md5 fake
     assert float(feat[0]) < float(feat[-1])
+
+
+def test_html_to_text_strips_boilerplate(spark):
+    from openie_backend_spark.functions.text import html_to_text
+
+    html = (
+        "<html><head><style>body{x:1}</style><script>var a=2;</script>"
+        "</head><body><!-- c --><nav>Home &amp; About</nav>"
+        "<p>Acme Corp acquired Globex .</p>"
+        "<div>&quot;quoted&quot;&nbsp;&#39;s &lt;tag&gt;</div></body></html>"
+    )
+    df = spark.createDataFrame([(html.encode(),)], "html binary")
+    out = df.select(html_to_text("html").alias("t")).first()["t"]
+    assert "Acme Corp acquired Globex ." in out
+    assert "var a=2" not in out and "body{x:1}" not in out  # script/style gone
+    assert "<" not in out.replace("<tag>", "")              # tags stripped
+    assert "Home & About" in out                            # entity decoded
+    assert '"quoted" \'s <tag>' in out                      # full decode chain
