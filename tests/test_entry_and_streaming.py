@@ -141,3 +141,42 @@ def test_streaming_incremental_ingest(spark, tmp_path):
         f"incremental merge diverged from full-input grouping:\n"
         f"got {got}\nexpected {expected}"
     )
+
+
+def test_ingest_replay_guard_survives_checkpoint_reset(spark, tmp_path):
+    """Regression: batch ids restart at 0 when a checkpoint is deleted
+    or replaced; a marker keyed only by batch id would then silently
+    skip the new run's first batch. Markers are namespaced by a run id
+    stored inside the checkpoint dir, so a fresh checkpoint must
+    reprocess everything."""
+    import shutil
+
+    from openie_backend_spark.streaming.ingest import run_incremental
+
+    landing = tmp_path / "landing"
+    groups_dir = str(tmp_path / "groups")
+    ckpt = str(tmp_path / "ckpt")
+    landing.mkdir()
+    schema = "url string, text string, lang string"
+    batch = spark.createDataFrame(
+        [("u1", "Acme Corp acquired Globex Inc. .", "en")], schema
+    )
+    batch.write.parquet(str(landing / "b1"))
+    run_incremental(spark, str(landing) + "/*", groups_dir, ckpt, batch.schema)
+    assert spark.read.parquet(groups_dir).filter(
+        F.col("rel_norm") == "acquire").first()["size"] == 1
+
+    # wipe checkpoint AND groups (a reprocess-from-scratch): stale
+    # _batch_<run>_0.done markers from run 1 still sit next to the
+    # groups dir location but the new run id must not match them
+    shutil.rmtree(ckpt)
+    shutil.rmtree(groups_dir)
+    # keep a stale marker from the OLD naming scheme too (plain batch
+    # id): it must be ignored by the namespaced guard
+    import os as _os
+    _os.makedirs(groups_dir, exist_ok=True)
+    open(_os.path.join(groups_dir, "_batch_0.done"), "w").write("stale")
+    run_incremental(spark, str(landing) + "/*", groups_dir, ckpt, batch.schema)
+    g = spark.read.parquet(groups_dir)
+    assert g.filter(F.col("rel_norm") == "acquire").first()["size"] == 1, \
+        "fresh checkpoint must reprocess data despite stale markers"
