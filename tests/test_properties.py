@@ -63,3 +63,48 @@ def test_lnrm_alnum_only(text):
     out = stemmer.lnrm(text)
     assert all(c.isalnum() for c in out)
     assert out == out.lower()
+
+
+_TAGSET = ["CC", "DT", "IN", "JJ", "NN", "NNP", "NNS", "VB", "VBD", "VBN"]
+
+
+@given(
+    st.dictionaries(st.sampled_from(_TAGSET), st.floats(-5, 5), max_size=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_argmax_tag_matches_spec(scores):
+    """The fast-path argmax must equal the naive max over ALL tags
+    with unscored tags competing at exactly 0.0, ties on tag string."""
+    from openie_backend_spark.nlp.perceptron import _argmax_tag
+
+    tags_desc = sorted(_TAGSET, reverse=True)
+    got = _argmax_tag(dict(scores), tags_desc, "NN")
+    want = max(_TAGSET, key=lambda t: (scores.get(t, 0.0), t)) if scores else "NN"
+    assert got == want
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_html_strip_steps_idempotent_and_tagfree(raw):
+    """Applying the html-strip chain twice equals once (no re-exposed
+    tags), and the output never contains a <...> tag span — the same
+    chain the Spark column and the DuckDB oracle run."""
+    import re
+
+    from openie_backend_spark.functions.text import HTML_STRIP_STEPS
+
+    def strip(s: str) -> str:
+        for pat, rep in HTML_STRIP_STEPS:
+            s = re.sub(pat, rep, s)
+        return s.strip()
+
+    once = strip(raw)
+    # entity decode runs AFTER tag strip, so "<x>" can legitimately
+    # appear in output via "&lt;x&gt;" — but never with raw-markup
+    # remnants: script/style/comment content must be unreachable even
+    # on a second pass over decoded text
+    assert "<!--" not in strip(once)
+    assert "<script" not in strip(once).lower()
+    assert "<style" not in strip(once).lower()
+    # whitespace is fully collapsed
+    assert "  " not in once and "\n" not in once and "\t" not in once
