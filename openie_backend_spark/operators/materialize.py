@@ -124,3 +124,21 @@ def fracture(groups: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
             F.count(F.lit(1)).alias("size"),
         )
     )
+
+
+def lookup_subject(
+    spark, spo_dir: str, subject_id: str, n_buckets: int = 16
+) -> DataFrame:
+    """Point lookup on the bucketed SPO table (the parquet analog of
+    the reference's sharded Lucene point query,
+    ``ParallelExtractionGroupFetcher.scala:68``): the ``_bucket``
+    predicate folds to a constant at plan time, so the scan's
+    PartitionFilters prune to ONE ``_bucket=NN`` directory —
+    O(table/n_buckets) I/O instead of a full scan. ``n_buckets`` must
+    match the value the pipeline wrote with
+    (``plans/pipeline.py`` stage ``buckets=(16, "subject_id")``)."""
+    df = spark.read.parquet(spo_dir)
+    bucket = F.pmod(F.hash(F.lit(subject_id)), F.lit(n_buckets))
+    return df.filter(
+        (F.col("_bucket") == bucket) & (F.col("subject_id") == subject_id)
+    )

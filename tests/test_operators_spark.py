@@ -354,3 +354,25 @@ def test_html_to_text_strips_boilerplate(spark):
     assert "<" not in out.replace("<tag>", "")              # tags stripped
     assert "Home & About" in out                            # entity decoded
     assert '"quoted" \'s <tag>' in out                      # full decode chain
+
+
+def test_lookup_subject_prunes_partitions(spark, tmp_path):
+    from openie_backend_spark.operators.materialize import lookup_subject
+
+    spo = spark.createDataFrame(
+        [(f"n:{i:04d}", f"subj {i}", "acquired", f"o:{i}", f"obj {i}", 1)
+         for i in range(64)],
+        "subject_id string, subject string, predicate string, "
+        "object_id string, object string, group_size long",
+    ).withColumn("_bucket", F.pmod(F.hash(F.col("subject_id")), F.lit(16)))
+    out = str(tmp_path / "spo")
+    spo.write.partitionBy("_bucket").parquet(out)
+
+    hit = lookup_subject(spark, out, "n:0007", n_buckets=16)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["subject"] == "subj 7"
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    # partition-pruned scan: the bucket predicate must appear as a
+    # PartitionFilter (one directory read), not a post-scan filter only
+    assert "PartitionFilters" in plan and "_bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
