@@ -180,3 +180,36 @@ def test_ingest_replay_guard_survives_checkpoint_reset(spark, tmp_path):
     g = spark.read.parquet(groups_dir)
     assert g.filter(F.col("rel_norm") == "acquire").first()["size"] == 1, \
         "fresh checkpoint must reprocess data despite stale markers"
+
+
+def test_cli_extract_roundtrips_through_tab_reader(spark, tmp_path):
+    """S8 stdin/stdout CLI: its 7-column output is the reference's
+    ReVerbExtraction tab format, read back losslessly by the S1
+    reader (M12 writer+reader round-trip)."""
+    import subprocess
+    import sys as _sys
+
+    from openie_backend_spark.sources.tab import read_extractions_tab
+
+    sentences = (
+        "Acme Corp acquired Globex Inc. in 2006 .\n"
+        "Marie Curie invented the widget .\n"
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-m", "openie_backend_spark", "extract",
+         "--url", "http://t.test/1"],
+        input=sentences, capture_output=True, text=True,
+        cwd="/root/repo", env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    out_file = tmp_path / "cli.tab"
+    out_file.write_text(proc.stdout)
+    df = read_extractions_tab(spark, str(out_file))
+    rows = df.collect()
+    assert len(rows) == 2
+    by_tok = {tuple(r["tokens"]): r for r in rows}
+    acme = by_tok[tuple("Acme Corp acquired Globex Inc. in 2006 .".split())]
+    assert (acme["arg1_start"], acme["arg1_end"]) == (0, 2)
+    assert (acme["rel_start"], acme["rel_end"]) == (2, 3)
+    assert acme["url"] == "http://t.test/1"
+    assert len(acme["tokens"]) == len(acme["pos_tags"]) == len(acme["chunk_tags"])
