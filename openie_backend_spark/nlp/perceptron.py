@@ -131,23 +131,32 @@ class _AveragedPerceptron:
     # ------------------------------------------------------ inference
 
     def _predict(self, feats, allowed: list[str] | None = None) -> str:
-        scores: dict[str, float] = {}
-        for f in feats:
-            w = self.weights.get(f)
-            if w:
-                for tag, v in w.items():
-                    scores[tag] = scores.get(tag, 0.0) + v
+        weights = self.weights
         if allowed:
             # tag-dictionary constraint: a frequent word can only take
             # tags it was ever seen with (classic dictionary decode) —
-            # impossible tags never compete
-            bt = allowed[0]
-            bv = scores.get(bt, 0.0)
-            for t in allowed[1:]:
-                v = scores.get(t, 0.0)
-                if v > bv or (v == bv and t > bt):
+            # impossible tags never compete. Score ONLY the allowed
+            # tags: |feats|·|allowed| lookups instead of accumulating
+            # every tag of every feature row (the hot-path win —
+            # exact same argmax as scoring everything then filtering).
+            rows = [w for f in feats if (w := weights.get(f))]
+            bt = None
+            bv = 0.0
+            for t in allowed:
+                v = 0.0
+                for w in rows:
+                    wv = w.get(t)
+                    if wv is not None:
+                        v += wv
+                if bt is None or v > bv or (v == bv and t > bt):
                     bv, bt = v, t
             return bt
+        scores: dict[str, float] = {}
+        for f in feats:
+            w = weights.get(f)
+            if w:
+                for tag, v in w.items():
+                    scores[tag] = scores.get(tag, 0.0) + v
         if not self._tags_desc:
             self._tags_desc = sorted(self.tags, reverse=True)
         return _argmax_tag(scores, self._tags_desc, self.default_tag)
@@ -333,17 +342,29 @@ class PerceptronChunker(_AveragedPerceptron):
     """Same averaged-perceptron core as the tagger, emitting IOB
     chunk tags from (tokens, POS). Trained on the reference's gold
     chunk layers (OpenNLP output), so the raw path reproduces the
-    chunking behavior the extractor's patterns were built against."""
+    chunking behavior the extractor's patterns were built against.
+
+    ``pos_dict`` is the chunker's dictionary constraint: for each POS
+    tag, the chunk tags ever observed with it in training (a '.' never
+    chunks as I-NP). Decode scores only those — faster AND it rules
+    out never-seen (pos, chunk) pairs, which are errors with
+    probability ~1."""
 
     default_tag = "O"
+
+    def __init__(self):
+        super().__init__()
+        self.pos_dict: dict[str, list[str]] = {}
 
     def chunk(self, tokens: list[str], pos: list[str]) -> list[str]:
         words = ["_S2", "_S1"] + [_normalize(t) for t in tokens] + ["_E1", "_E2"]
         ptags = ["_S2", "_S1"] + list(pos) + ["_E1", "_E2"]
         out: list[str] = []
         prev = "-START-"
+        pos_dict = self.pos_dict
         for i in range(len(tokens)):
-            t = self._predict(_chunk_features(i, words, ptags, prev))
+            allowed = pos_dict.get(pos[i])
+            t = self._predict(_chunk_features(i, words, ptags, prev), allowed)
             out.append(t)
             prev = t
         return out
@@ -355,8 +376,12 @@ class PerceptronChunker(_AveragedPerceptron):
         seed: int = 29,
     ) -> None:
         tagset = set()
-        for _, _, chunks in sentences:
+        pos_chunks: dict[str, set[str]] = {}
+        for _, pos, chunks in sentences:
             tagset.update(chunks)
+            for p, c in zip(pos, chunks):
+                pos_chunks.setdefault(p, set()).add(c)
+        self.pos_dict = {p: sorted(cs) for p, cs in pos_chunks.items()}
         self._begin_training(tagset)
         rng = random.Random(seed)
         order = list(range(len(sentences)))
@@ -370,13 +395,14 @@ class PerceptronChunker(_AveragedPerceptron):
                 for i in range(len(toks)):
                     self._instance += 1
                     feats = _chunk_features(i, words, ptags, prev)
-                    t = self._predict(feats)
+                    t = self._predict(feats, self.pos_dict.get(pos[i]))
                     self._update(gold[i], t, feats)
                     prev = gold[i]
         self._finalize_training()
 
     def save(self, path: str = CHUNKER_MODEL_PATH) -> None:
-        blob = {"tags": self.tags, "weights": self.weights}
+        blob = {"tags": self.tags, "pos_dict": self.pos_dict,
+                "weights": self.weights}
         with gzip.open(path, "wt", encoding="utf-8") as fh:
             json.dump(blob, fh, separators=(",", ":"), sort_keys=True)
 
@@ -386,6 +412,7 @@ class PerceptronChunker(_AveragedPerceptron):
             blob = json.load(fh)
         c = cls()
         c.tags = blob["tags"]
+        c.pos_dict = blob.get("pos_dict", {})
         c.weights = blob["weights"]
         return c
 
