@@ -597,9 +597,20 @@ def _kg_edges(spark, sf):
     )
 
 _TAB_FIXTURE = "/tmp/openie_tab_fixture_v1.tab"
-# interval literal ("[0, 2)" / "{0, 2)" legacy variants), as a quoted
-# SQL regex for the DuckDB side of the S1/M12 oracle
-_TAB_REX = r"'[\[{](\d+), (\d+)[)\]}]'"
+def _tab_iv_sql(col: str, which: str) -> str:
+    """DuckDB expression for one bound of a serialized interval,
+    mirroring ``intervalFromString`` (ReVerbExtraction.scala:180-196)
+    and sources/tab._interval_bounds: two numbers -> open unless the
+    literal ends with ']' or '}' (then end+1); one number ->
+    singleton [n, n+1); else NULL."""
+    nums = rf"regexp_extract_all({col}, '\d+')"
+    n = f"len({nums})"
+    if which == "s":
+        return (f"CAST(CASE WHEN {n} IN (1, 2) "
+                f"THEN CAST({nums}[1] AS INTEGER) END AS INTEGER)")
+    bump = f"(CASE WHEN {col} LIKE '%)' THEN 0 ELSE 1 END)"
+    return (f"CAST(CASE WHEN {n} = 2 THEN CAST({nums}[2] AS INTEGER) + {bump} "
+            f"WHEN {n} = 1 THEN CAST({nums}[1] AS INTEGER) + 1 END AS INTEGER)")
 
 
 def _ensure_tab_fixture() -> str:
@@ -607,11 +618,16 @@ def _ensure_tab_fixture() -> str:
     reference's 7-column on-disk format (three ``[start, end)``
     intervals, three space-joined aligned token layers, url —
     ``models/.../ReVerbExtraction.scala:137-147``), for the S1/M12
-    source oracle. Includes a ``None`` url row and a malformed line
-    that both readers must drop. Regenerated unconditionally on every
-    call (it is 41 lines — an exists-check would let an edited
-    generator silently serve the stale /tmp file, the ADVICE-r2 synth
-    cache bug class)."""
+    source oracle. Covers all three interval literal forms the
+    reference's ``intervalFromString`` accepts
+    (``ReVerbExtraction.scala:180-196``): open ``[a, b)``, closed
+    end-inclusive ``[a, b]``, singleton ``{n}``. Includes a ``None``
+    url row plus two lines both readers must drop: one with no tabs
+    and one whose rel interval is garbage (reference fails the whole
+    line unless ALL three intervals parse). Regenerated
+    unconditionally on every call (an exists-check would let an
+    edited generator silently serve the stale /tmp file, the
+    ADVICE-r2 synth cache bug class)."""
     words = ["alpha", "beta", "gamma", "delta",
              "epsilon", "zeta", "eta", "theta"]
     lines = []
@@ -623,11 +639,26 @@ def _ensure_tab_fixture() -> str:
         chks = ["B-NP" if j in (0, 3) else ("B-VP" if j == 2 else "I-NP")
                 for j in range(n)]
         url = "None" if i % 7 == 0 else f"http://example.org/page/{i}"
+        # rotate through the three serialized interval forms the
+        # reference accepts: open / closed end-inclusive / singleton
+        if i % 5 == 3:
+            rel_iv = "[2, 2]"          # closed == [2, 3)
+        elif i % 5 == 4:
+            rel_iv = "{2}"             # singleton == [2, 3)
+        else:
+            rel_iv = "[2, 3)"
+        arg2_iv = f"[3, {n - 1}]" if i % 6 == 5 else f"[3, {n})"
         lines.append("\t".join([
-            "[0, 2)", "[2, 3)", f"[3, {n})",
+            "[0, 2)", rel_iv, arg2_iv,
             " ".join(toks), " ".join(tags), " ".join(chks), url,
         ]))
     lines.append("malformed line without tabs")
+    # valid arg1/arg2 but unparseable rel -> whole line must drop
+    lines.append("\t".join([
+        "[0, 2)", "nonsense", "[3, 5)",
+        "alpha beta gamma delta epsilon", "NNP NN VBZ NN NN",
+        "B-NP I-NP B-VP B-NP I-NP", "http://example.org/bad",
+    ]))
     tmp = f"{_TAB_FIXTURE}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -1116,15 +1147,21 @@ def oracle_sql() -> dict[str, str]:
                               'c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
                               'c6':'VARCHAR'}})
             )
-            SELECT CAST(regexp_extract(c0, {_TAB_REX}, 1) AS INTEGER) AS arg1_start,
-                   CAST(regexp_extract(c0, {_TAB_REX}, 2) AS INTEGER) AS arg1_end,
-                   CAST(regexp_extract(c1, {_TAB_REX}, 1) AS INTEGER) AS rel_start,
-                   CAST(regexp_extract(c1, {_TAB_REX}, 2) AS INTEGER) AS rel_end,
-                   CAST(regexp_extract(c2, {_TAB_REX}, 1) AS INTEGER) AS arg2_start,
-                   CAST(regexp_extract(c2, {_TAB_REX}, 2) AS INTEGER) AS arg2_end,
+            SELECT {_tab_iv_sql('c0', 's')} AS arg1_start,
+                   {_tab_iv_sql('c0', 'e')} AS arg1_end,
+                   {_tab_iv_sql('c1', 's')} AS rel_start,
+                   {_tab_iv_sql('c1', 'e')} AS rel_end,
+                   {_tab_iv_sql('c2', 's')} AS arg2_start,
+                   {_tab_iv_sql('c2', 'e')} AS arg2_end,
                    c3 AS token_str, c4 AS tag_str,
                    CASE WHEN c6 = 'None' THEN '' ELSE c6 END AS url
-            FROM raw WHERE regexp_matches(c0, {_TAB_REX})
+            FROM raw
+            WHERE {_tab_iv_sql('c0', 's')} IS NOT NULL
+              AND {_tab_iv_sql('c0', 'e')} IS NOT NULL
+              AND {_tab_iv_sql('c1', 's')} IS NOT NULL
+              AND {_tab_iv_sql('c1', 'e')} IS NOT NULL
+              AND {_tab_iv_sql('c2', 's')} IS NOT NULL
+              AND {_tab_iv_sql('c2', 'e')} IS NOT NULL
         """,
         "j2_salted_join": """
             SELECT c_mktsegment, count(*) AS cnt,

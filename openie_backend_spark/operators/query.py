@@ -56,16 +56,22 @@ class QuerySpec:
         conds = []
         for col, raw in (("arg1_norm", self.arg1), ("rel_norm", self.rel),
                          ("arg2_norm", self.arg2)):
-            if raw:
+            if raw is not None and raw != "":
                 phrases = [raw] if isinstance(raw, str) else list(raw)
                 values = [
                     normalize_query_text(p) if self.stem else p
                     for p in phrases
                 ]
-                # OR within the field (an IN-list, so Catalyst can turn
-                # it into partition pruning on a bucketed norm column);
-                # AND/OR ACROSS fields stays governed by `conjunction`
-                conds.append(F.col(col).isin(*values))
+                if not values:
+                    # explicit empty disjunction: 'match nothing', NOT
+                    # 'no constraint' (None means no constraint)
+                    conds.append(F.lit(False))
+                else:
+                    # OR within the field (an IN-list, so Catalyst can
+                    # turn it into partition pruning on a bucketed norm
+                    # column); AND/OR ACROSS fields stays governed by
+                    # `conjunction`
+                    conds.append(F.col(col).isin(*values))
         if self.arg1_entity_id:
             conds.append(F.col("arg1_entity.fbid") == self.arg1_entity_id)
         if self.arg2_entity_id:

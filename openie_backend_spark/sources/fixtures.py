@@ -25,7 +25,7 @@ GOLD_GROUPS = os.path.join(
     "models/src/main/resources/edu/knowitall/openie/models/test-groups.txt",
 )
 
-_INTERVAL_RE = re.compile(r"[\[{](\d+),\s*(\d+)[)\]}]")
+_NUM_RE = re.compile(r"\d+")
 
 
 class GoldExtraction(NamedTuple):
@@ -39,10 +39,18 @@ class GoldExtraction(NamedTuple):
 
 
 def parse_interval(text: str) -> tuple[int, int]:
-    m = _INTERVAL_RE.match(text.strip())
-    if not m:
-        raise ValueError(f"bad interval: {text!r}")
-    return int(m.group(1)), int(m.group(2))
+    """All three serialized forms of ``intervalFromString``
+    (``ReVerbExtraction.scala:180-196``): ``[a, b)`` open, ``[a, b]``
+    closed end-inclusive, ``{n}`` singleton."""
+    text = text.strip()
+    nums = _NUM_RE.findall(text)
+    if len(nums) == 2:
+        start, end = int(nums[0]), int(nums[1])
+        return (start, end) if text.endswith(")") else (start, end + 1)
+    if len(nums) == 1:
+        n = int(nums[0])
+        return n, n + 1
+    raise ValueError(f"bad interval: {text!r}")
 
 
 def available() -> bool:

@@ -14,32 +14,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _interval(col, part: int):
-    # regexp_extract yields '' on non-matching (malformed) lines;
-    # try_cast maps that to NULL instead of an ANSI cast error, and the
-    # reader's arg1_start IS NOT NULL filter then drops the line
-    return F.regexp_extract(col, r"[\[{](\d+), (\d+)[)\]}]", part).try_cast("int")
+def _interval_bounds(col):
+    """``(start, end)`` columns for a serialized interval literal,
+    honoring all three forms ``intervalFromString`` accepts
+    (``ReVerbExtraction.scala:180-196``): ``[a, b)`` open, ``[a, b]``
+    closed (end-inclusive, so end+1 in our half-open convention), and
+    ``{n}`` singleton (= ``[n, n+1)``). Any other shape yields NULL
+    bounds, and the reader drops the line — matching the reference,
+    which fails the whole line unless all three intervals parse.
+    """
+    nums = F.regexp_extract_all(col, F.lit(r"\d+"), 0)
+    n = F.size(nums)
+    start = F.when((n == 1) | (n == 2), F.element_at(nums, 1).try_cast("int"))
+    closed_bump = F.when(col.endswith(")"), F.lit(0)).otherwise(F.lit(1))
+    end = F.when(n == 2, F.element_at(nums, 2).try_cast("int") + closed_bump).when(
+        n == 1, F.element_at(nums, 1).try_cast("int") + 1
+    )
+    return start, end
 
 
 def read_extractions_tab(spark: SparkSession, path: str) -> DataFrame:
     """Tab-serialized ReVerbExtraction lines → typed extraction rows."""
     lines = spark.read.text(path)
     c = F.split(F.regexp_replace(F.col("value"), "\r$", ""), "\t")
-    return (
-        lines.select(
-            _interval(c[0], 1).alias("arg1_start"),
-            _interval(c[0], 2).alias("arg1_end"),
-            _interval(c[1], 1).alias("rel_start"),
-            _interval(c[1], 2).alias("rel_end"),
-            _interval(c[2], 1).alias("arg2_start"),
-            _interval(c[2], 2).alias("arg2_end"),
-            F.split(c[3], " ").alias("tokens"),
-            F.split(c[4], " ").alias("pos_tags"),
-            F.split(c[5], " ").alias("chunk_tags"),
-            F.when(c[6] == "None", F.lit(None)).otherwise(c[6]).alias("url"),
-        )
-        .filter(F.col("arg1_start").isNotNull())
+    a1s, a1e = _interval_bounds(c[0])
+    rls, rle = _interval_bounds(c[1])
+    a2s, a2e = _interval_bounds(c[2])
+    out = lines.select(
+        a1s.alias("arg1_start"),
+        a1e.alias("arg1_end"),
+        rls.alias("rel_start"),
+        rle.alias("rel_end"),
+        a2s.alias("arg2_start"),
+        a2e.alias("arg2_end"),
+        F.split(c[3], " ").alias("tokens"),
+        F.split(c[4], " ").alias("pos_tags"),
+        F.split(c[5], " ").alias("chunk_tags"),
+        F.when(c[6] == "None", F.lit(None)).otherwise(c[6]).alias("url"),
     )
+    # reference drops the line unless ALL three intervals parsed
+    # (argIntervals.size != 3 -> failure, ReVerbExtraction.scala:160)
+    all_parsed = F.lit(True)
+    for f in ("arg1_start", "arg1_end", "rel_start", "rel_end", "arg2_start", "arg2_end"):
+        all_parsed = all_parsed & F.col(f).isNotNull()
+    return out.filter(all_parsed)
 
 
 def read_sentences_tab(spark: SparkSession, path: str) -> DataFrame:

@@ -267,12 +267,21 @@ def ensure_corpus(n_pages: int = DEFAULT_N_PAGES) -> str:
             # race loser or failed generation: never leave the
             # pid-suffixed dir behind (generation errors still raise)
             shutil.rmtree(tmp, ignore_errors=True)
-        # prune caches keyed on superseded source versions — every
-        # tagger/synth edit creates a fresh dir and /tmp accretes
+        # prune ONLY caches keyed on superseded source versions —
+        # every tagger/synth edit creates a fresh dir and /tmp
+        # accretes. Leave alone: in-flight '.tmp.<pid>' staging dirs
+        # of concurrent processes, and current-version caches for
+        # other n_pages values (both were ADVICE r3 findings).
+        from openie_backend_spark import mirror
+
         base = os.path.dirname(d)
-        me = os.path.basename(d)
+        keep_prefix = f"openie_synth_cache_{mirror.source_version()}_"
         for entry in os.listdir(base):
-            if entry.startswith("openie_synth_cache_") and entry != me:
+            if (
+                entry.startswith("openie_synth_cache_")
+                and ".tmp." not in entry
+                and not entry.startswith(keep_prefix)
+            ):
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     return d
 

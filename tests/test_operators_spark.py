@@ -157,6 +157,30 @@ def test_tab_source_roundtrip(spark, tmp_path):
     assert ex["rel_text"] == "acquired"
 
 
+def test_tab_source_interval_forms(spark, tmp_path):
+    """intervalFromString accepts open '[a, b)', closed end-inclusive
+    '[a, b]' and singleton '{n}' forms, and drops the line unless ALL
+    three intervals parse (ReVerbExtraction.scala:160,180-196)."""
+    layers = "a b c d e\tNNP NN VBZ NN NN\tB-NP I-NP B-VP B-NP I-NP\thttp://x"
+    lines = [
+        "[0, 2)\t{2}\t[3, 4]\t" + layers,      # singleton rel, closed arg2
+        "[0, 1]\t[2, 3)\t[3, 5)\t" + layers,   # closed arg1
+        "[0, 2)\tgarbage\t[3, 5)\t" + layers,  # rel unparseable -> dropped
+    ]
+    p = tmp_path / "forms.txt"
+    p.write_text("\n".join(lines) + "\n")
+    rows = sorted(
+        tab.read_extractions_tab(spark, str(p)).collect(),
+        key=lambda r: r["arg1_end"],
+    )
+    assert len(rows) == 2
+    singleton = rows[1]
+    assert (singleton["rel_start"], singleton["rel_end"]) == (2, 3)
+    assert (singleton["arg2_start"], singleton["arg2_end"]) == (3, 5)
+    closed = rows[0]
+    assert (closed["arg1_start"], closed["arg1_end"]) == (0, 2)
+
+
 def test_incremental_merge(spark):
     from openie_backend_spark.streaming.ingest import merge_groups
 
@@ -376,3 +400,18 @@ def test_lookup_subject_prunes_partitions(spark, tmp_path):
     # PartitionFilter (one directory read), not a post-scan filter only
     assert "PartitionFilters" in plan and "_bucket" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_query_empty_phrase_list_matches_nothing(spark):
+    from openie_backend_spark.operators.query import QuerySpec, fetch_groups
+
+    groups = spark.createDataFrame(
+        [("acme", "acquir", "globex", 3), ("bob", "found", "initech", 2)],
+        "arg1_norm string, rel_norm string, arg2_norm string, size long",
+    )
+    # None = unconstrained field; [] = explicit empty disjunction
+    assert fetch_groups(groups, QuerySpec(arg1=None)).count() == 2
+    assert fetch_groups(groups, QuerySpec(arg1=[])).count() == 0
+    # and an empty list doesn't reach isin() with zero values (no raise)
+    assert fetch_groups(groups, QuerySpec(arg1=[], rel="found", stem=False,
+                                          conjunction=False)).count() == 1
