@@ -727,6 +727,150 @@ def _html_to_text_oracle_sql() -> str:
     """
 
 
+def _stream_incremental_merge(spark, sf):
+    """Streaming ingest as a value-hash oracle (SURVEY §2.9,
+    ``hadoop/.../Ingester.scala:75,110-120``): split the synth corpus
+    into three deterministic micro-batches (md5-of-url mod 3 — both
+    engines compute md5 identically), run three AvailableNow
+    ``run_incremental`` catch-up passes into a bucketed groups table,
+    and return the final (group key, size) state. The oracle is a
+    single-pass DuckDB grouping of the FULL input — incremental merge
+    must equal batch recompute. ``needs_relink`` stays pytest-gated
+    (bucket residency uses Spark murmur3, not DuckDB-expressible)."""
+    import shutil
+
+    from openie_backend_spark import mirror
+    from openie_backend_spark.streaming.ingest import run_incremental
+
+    pages, _ = _synth(spark)
+    work = f"/tmp/openie_stream_oracle_{mirror.source_version()}"
+    shutil.rmtree(work, ignore_errors=True)
+    landing = os.path.join(work, "landing")
+    groups_dir = os.path.join(work, "groups")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    slim = pages.select("url", "text", "lang")
+    batch_of = F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("int") % 3
+    for b in range(3):
+        slim.filter(batch_of == b).write.parquet(os.path.join(landing, f"b{b}"))
+        run_incremental(spark, landing + "/*", groups_dir, ckpt, slim.schema)
+    return spark.read.parquet(groups_dir).select(
+        "arg1_norm", "rel_norm", "arg2_norm",
+        F.col("size").cast("long").alias("size"),
+    )
+
+
+def _stream_incremental_merge_oracle_sql() -> str:
+    """Single-pass grouping of the full input over the mirror
+    extractions — the instance-set dedup + F1 empty-key filter
+    ``group_extractions`` applies (no F2: the ingest path groups raw
+    extractions, ``streaming/ingest.py:148``). Confidence is rounded
+    to 3 digits inside the DISTINCT so float repr differences between
+    the single-process mirror and Spark cannot split instance sets."""
+    from openie_backend_spark import mirror
+
+    ext_synth = mirror.ensure()["ext_synth"]
+    return f"""
+        SELECT arg1_norm, rel_norm, arg2_norm,
+               CAST(count(*) AS BIGINT) AS size
+        FROM (
+            SELECT DISTINCT arg1_norm, rel_norm, arg2_norm, url, sent_id,
+                   arg1_start, arg1_end, rel_start, rel_end,
+                   arg2_start, arg2_end, arg1_text, rel_text, arg2_text,
+                   round(confidence, 3) AS confidence
+            FROM read_parquet('{ext_synth}')
+            WHERE length(trim(arg1_norm)) > 0
+              AND length(trim(rel_norm)) > 0
+              AND length(trim(arg2_norm)) > 0
+        ) GROUP BY 1, 2, 3
+    """
+
+
+def _s5_pipeline_resume(spark, sf):
+    """S3/S5: the staged parquet sink with manifest resume
+    (plans/pipeline.py; reference restarts by line offset,
+    ``docs/reverb-cluster-extraction-indexing.txt:92-94``). Cold-run
+    the full KG DAG into a fresh workdir, then re-run: every stage
+    must RESUME from its manifest entry (resumed=TRUE) with row
+    counts matching a DuckDB re-derivation of each stage's semantics
+    over the mirror extractions — manifest counters must equal
+    materialized reality."""
+    import shutil
+
+    from openie_backend_spark import mirror
+    from openie_backend_spark.plans.pipeline import Pipeline
+
+    pages, _ = _synth(spark)
+    work = f"/tmp/openie_pipeline_oracle_{mirror.source_version()}"
+    shutil.rmtree(work, ignore_errors=True)
+    Pipeline(spark, work).run(pages)   # cold run: materialize all stages
+    p2 = Pipeline(spark, work)         # fresh driver, same workdir
+    p2.run(pages)                      # must skip every stage via manifest
+    rows = [(r.name, int(r.rows), bool(r.resumed)) for r in p2.results]
+    return spark.createDataFrame(rows, "stage string, n_rows long, resumed boolean")
+
+
+def _s5_pipeline_resume_oracle_sql() -> str:
+    """Per-stage expected row counts, re-derived in DuckDB from the
+    mirror extractions: F2@0.5 filter -> instance-set dedup -> group
+    -> spo/edges/nodes id math (sha256 node ids, materialize.py:20)."""
+    from openie_backend_spark import mirror
+    from openie_backend_spark.kg_oracles import _F2, _INST_SLIM
+
+    ext_synth = mirror.ensure()["ext_synth"]
+    return f"""
+        WITH ext AS (SELECT * FROM read_parquet('{ext_synth}')),
+        flt AS (SELECT * FROM ext WHERE ({_F2}) AND confidence >= 0.5),
+        ded AS (SELECT DISTINCT arg1_norm, rel_norm, arg2_norm, {_INST_SLIM}
+                FROM flt),
+        grp AS (SELECT arg1_norm, rel_norm, arg2_norm, count(*) AS size
+                FROM ded GROUP BY 1, 2, 3),
+        spo AS (SELECT 'n:' || substr(sha256(arg1_norm), 1, 16) AS sid,
+                       'n:' || substr(sha256(arg2_norm), 1, 16) AS oid
+                FROM grp)
+        SELECT 'extractions' AS stage,
+               CAST((SELECT count(*) FROM ext) AS BIGINT) AS n_rows,
+               TRUE AS resumed
+        UNION ALL SELECT 'extractions_filtered',
+               (SELECT count(*) FROM flt), TRUE
+        UNION ALL SELECT 'groups', (SELECT count(*) FROM grp), TRUE
+        UNION ALL SELECT 'groups_filtered', (SELECT count(*) FROM grp), TRUE
+        UNION ALL SELECT 'spo', (SELECT count(*) FROM grp), TRUE
+        UNION ALL SELECT 'edges', (SELECT count(DISTINCT sid) FROM spo), TRUE
+        UNION ALL SELECT 'nodes',
+               (SELECT count(*) FROM
+                   (SELECT sid FROM spo UNION SELECT oid FROM spo)), TRUE
+    """
+
+
+_SENT_FIXTURE = "/tmp/openie_sent_fixture_v1.tab"
+
+
+def _ensure_sent_fixture() -> str:
+    """``sentence \\t url`` lines for the S2 chunker-input source
+    (regenerated unconditionally, same policy as the S1 fixture)."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    lines = [
+        f"{' '.join(words[(i + j) % 5] for j in range(4 + i % 3))} ."
+        f"\thttp://example.org/sent/{i}"
+        for i in range(30)
+    ]
+    tmp = f"{_SENT_FIXTURE}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, _SENT_FIXTURE)
+    return _SENT_FIXTURE
+
+
+def _src_tab_sentences(spark, sf):
+    """S2: the reference's sentence+url chunker-input lines parsed
+    JVM-side (sources/tab.read_sentences_tab)."""
+    from openie_backend_spark.sources.tab import read_sentences_tab
+
+    df = read_sentences_tab(spark, _ensure_sent_fixture())
+    return df.select("text", "url", F.length("text").alias("n_chars"))
+
+
 def _j2_salted_join(spark, sf):
     """J2: deterministic salted equi-join (functions/skew.salted_join,
     the TypeAttacher.scala:20-25 hot-key spread) — aggregate result is
@@ -799,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_html_to_text": _src_html_to_text,
         "m4_split_streams": _m4_split_streams,
         "j2_salted_join": _j2_salted_join,
+        "stream_incremental_merge": _stream_incremental_merge,
+        "s5_pipeline_resume": _s5_pipeline_resume,
+        "src_tab_sentences": _src_tab_sentences,
     }
 
 
@@ -1170,6 +1317,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "src_html_to_text": _html_to_text_oracle_sql(),
+        "stream_incremental_merge": _stream_incremental_merge_oracle_sql(),
+        "s5_pipeline_resume": _s5_pipeline_resume_oracle_sql(),
+        "src_tab_sentences": f"""
+            SELECT c0 AS text, c1 AS url,
+                   CAST(length(c0) AS INTEGER) AS n_chars
+            FROM read_csv('{_ensure_sent_fixture()}', delim='\t',
+                header=false, quote='', auto_detect=false,
+                columns={{'c0':'VARCHAR','c1':'VARCHAR'}})
+        """,
     }
 
 
