@@ -128,9 +128,19 @@ def _cand_ctes(dims: str) -> str:
     )"""
 
 
+def _junk_anchor_list() -> str:
+    """SQL IN-list of the linker's junk-anchor refusal words
+    (operators/link.JUNK_ANCHORS), kept in lockstep by importing."""
+    from openie_backend_spark.operators.link import JUNK_ANCHORS
+
+    return "(" + ",".join(f"'{w}'" for w in sorted(JUNK_ANCHORS)) + ")"
+
+
 def _link_side_ctes(side: str, dims: str) -> str:
     """Suffix-shrink candidates, context-cosine score, argmax
-    (shrink ASC, score DESC, fbid DESC — matches the max_by struct)."""
+    (shrink ASC, score DESC, fbid DESC — matches the max_by struct).
+    Junk-anchor refusal: a single-word suffix that is a closed-class
+    word or a pure number yields no candidate (link._link_side)."""
     return f"""
     sfx_{side} AS (
         SELECT arg1_norm, rel_norm, arg2_norm, ctx, words,
@@ -151,6 +161,9 @@ def _link_side_ctes(side: str, dims: str) -> str:
               FROM sfx_{side}) s
         JOIN cand c USING (anchor_lnrm)
         LEFT JOIN ctxt ct ON ct.fbid = c.fbid
+        WHERE NOT (len(s.words) - s.shrink_idx = 1
+                   AND (lower(s.words[s.shrink_idx + 1]) IN {_junk_anchor_list()}
+                        OR regexp_matches(s.anchor_lnrm, '^[0-9]+$')))
     ),
     best_{side} AS (
         SELECT arg1_norm, rel_norm, arg2_norm, fbid, title, types FROM (

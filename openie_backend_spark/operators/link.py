@@ -47,6 +47,34 @@ HIGH_PRECISION_COUNT = 500
 
 ENTITY_STRUCT_FIELDS = ("name", "fbid", "score", "inlink_ratio")
 
+# Junk-anchor refusal (spirit of the reference's serve-time entity
+# stoplist, ``ExtractionGroupFetcher.scala:119-133,170``, applied on
+# the anchor side): a bare closed-class word is not an entity mention
+# — the reference resolves "you" → the article "Bless you" only via
+# its out-of-band per-entity context index, which we do not ship, so
+# the safe behavior is NO link rather than a prior-driven mislink.
+# Applied per-SUFFIX: a single-word suffix that is a pronoun /
+# determiner / preposition / auxiliary / pure number produces no
+# candidate; longer suffixes ("october 15") are never refused, and a
+# multi-word head still links through them.
+JUNK_ANCHORS = frozenset(
+    # pronouns, wh-words, expletives, indefinites
+    "i you he she it we they me him her us them "
+    "my your his its our their mine yours hers ours theirs "
+    "myself yourself himself herself itself ourselves themselves "
+    "this that these those who whom whose which what "
+    "there here one something anything nothing everything "
+    "someone anyone everyone nobody somebody everybody".split()
+) | frozenset(
+    # determiners, conjunctions, prepositions, auxiliaries/copulas
+    "the a an some all both any each every no none other "
+    "and or but of in on at by for with to from as "
+    "up off out over under into about after before between "
+    "am is are was were be been being do does did "
+    "have has had having will would can could shall should "
+    "may might must not so then than if because when while".split()
+)
+
 
 def _lnrm_sql(col):
     """CrossWikis lnrm (``CrosswikisHandler.java:23-29``) as builtins:
@@ -114,6 +142,7 @@ def _link_side(
     cand_dim: DataFrame,
     side: str,
     broadcast_dim: bool,
+    refuse_junk: bool = True,
 ) -> DataFrame:
     """Resolve one argument side to its best entity candidate."""
     head_col = f"{side}_head"
@@ -155,6 +184,14 @@ def _link_side(
             )
         ).alias("shrink_idx", "suffix"),
     ).withColumn("anchor_lnrm", _lnrm_sql(F.col("suffix")))
+
+    if refuse_junk:
+        single_word = ~F.col("suffix").contains(" ")
+        junk = single_word & (
+            F.lower(F.col("suffix")).isin(*sorted(JUNK_ANCHORS))
+            | F.col("anchor_lnrm").rlike("^[0-9]+$")
+        )
+        suffixes = suffixes.filter(~junk)
 
     dim = F.broadcast(cand_dim) if broadcast_dim else cand_dim
     cands = suffixes.join(dim, "anchor_lnrm", "inner")
@@ -208,12 +245,14 @@ def link_groups(
     dims: dict[str, DataFrame],
     broadcast_dim: bool = True,
     min_score: float = 0.0,
+    refuse_junk_anchors: bool = True,
 ) -> DataFrame:
     """Attach arg1/arg2 entity links + types to groups."""
     cand_dim = _prepare_dims(dims)
     out = groups
     for side in ("arg1", "arg2"):
-        linked = _link_side(groups, cand_dim, side, broadcast_dim)
+        linked = _link_side(groups, cand_dim, side, broadcast_dim,
+                            refuse_junk=refuse_junk_anchors)
         out = out.join(linked, GROUP_KEY, "left")
     empty = F.array().cast("array<string>")
     return (

@@ -163,17 +163,10 @@ def _build_dims(rows, spark):
     return {k: spark.createDataFrame(v) for k, v in dims_pd.items()}, anchor_titles
 
 
-def test_linker_argmax_matches_reference_golden(spark):
+def _golden_groups(rows, spark):
     from pyspark.sql import Row
-    from pyspark.sql import functions as F
 
     from openie_backend_spark.nlp import stemmer
-    from openie_backend_spark.operators.link import link_groups
-
-    rows = _load_gold()
-    assert len(rows) > 900, "golden file should parse almost fully"
-    linked_gold = [r for r in rows if r["e1"] or r["e2"]]
-    assert len(linked_gold) > 100
 
     group_rows = []
     for i, r in enumerate(rows):
@@ -194,14 +187,53 @@ def test_linker_argmax_matches_reference_golden(spark):
                 instances=[Row(tokens=r["tokens"])],
             )
         )
-    groups = spark.createDataFrame(group_rows)
-    dims, anchor_titles = _build_dims(rows, spark)
-    out = link_groups(groups, dims).select(
+    return spark.createDataFrame(group_rows)
+
+
+def _run_linker(spark, groups, dims, refuse):
+    from pyspark.sql import functions as F
+
+    from openie_backend_spark.operators.link import link_groups
+
+    out = link_groups(groups, dims, refuse_junk_anchors=refuse).select(
         "gid",
         F.col("arg1_entity.fbid").alias("f1"),
         F.col("arg2_entity.fbid").alias("f2"),
     ).collect()
-    got = {r["gid"]: (r["f1"], r["f2"]) for r in out}
+    return {r["gid"]: (r["f1"], r["f2"]) for r in out}
+
+
+def _head_refused(head: str) -> bool:
+    """Python mirror of link._link_side's suffix-level refusal: the
+    head is a no-link iff EVERY suffix is refused (single junk word /
+    pure number) or lnrm-empty."""
+    from openie_backend_spark.nlp import stemmer as _st
+    from openie_backend_spark.operators.link import JUNK_ANCHORS
+
+    words = head.split()
+    for i in range(len(words)):
+        lnrm = _st.lnrm(" ".join(words[i:]))
+        if not lnrm:
+            continue
+        if len(words) - i == 1 and (
+            words[i].lower() in JUNK_ANCHORS or lnrm.isdigit()
+        ):
+            continue
+        return False
+    return True
+
+
+def test_linker_argmax_matches_reference_golden(spark):
+    rows = _load_gold()
+    assert len(rows) > 900, "golden file should parse almost fully"
+    linked_gold = [r for r in rows if r["e1"] or r["e2"]]
+    assert len(linked_gold) > 100
+
+    groups = _golden_groups(rows, spark)
+    dims, anchor_titles = _build_dims(rows, spark)
+    # refusal OFF: pins the raw argmax machinery against every golden
+    # pick, including junk anchors the dims-from-gold make resolvable
+    got = _run_linker(spark, groups, dims, refuse=False)
 
     from openie_backend_spark.nlp import stemmer as _st
 
@@ -242,3 +274,54 @@ def test_linker_argmax_matches_reference_golden(spark):
     # the specific example from the verdict: 'Improvement commissioners'
     by_fbid = [i for i, r in enumerate(rows) if r["e2"] and r["e2"][1] == "0266lb5"]
     assert by_fbid and all(got[i][1] == "0266lb5" for i in by_fbid)
+
+
+def test_linker_junk_anchor_refusal(spark):
+    """Junk-anchor refusal (VERDICT r3 #4, the reference stoplist
+    spirit, ``ExtractionGroupFetcher.scala:119-133``): with refusal ON
+    (the default), closed-class/number anchors become NO-links instead
+    of prior-driven mislinks. Gates: (a) every refused golden side is
+    a no-link; (b) argmax accuracy on the non-refused sides is at
+    least the refusal-off overall rate (the misses live in the refused
+    set); (c) precision of EMITTED links strictly improves."""
+    from openie_backend_spark.nlp import stemmer as _st
+
+    rows = _load_gold()
+    groups = _golden_groups(rows, spark)
+    dims, _ = _build_dims(rows, spark)
+    got_off = _run_linker(spark, groups, dims, refuse=False)
+    got_on = _run_linker(spark, groups, dims, refuse=True)
+
+    kept = kept_hits = 0
+    emitted_on = hits_on = emitted_off = hits_off = 0
+    refused_gold = 0
+    for i, r in enumerate(rows):
+        for side, span, k in (("e1", "arg1", 0), ("e2", "arg2", 1)):
+            if r[side] is None:
+                continue
+            s, e = r[span]
+            head = _st.head_phrase(r["tokens"][s:e], r["tags"][s:e])
+            gold_fbid = r[side][1]
+            if got_off[i][k] is not None:
+                emitted_off += 1
+                hits_off += got_off[i][k] == gold_fbid
+            if got_on[i][k] is not None:
+                emitted_on += 1
+                hits_on += got_on[i][k] == gold_fbid
+            if _head_refused(head):
+                refused_gold += 1
+                assert got_on[i][k] is None, (
+                    f"junk anchor {head!r} still linked to {got_on[i][k]}"
+                )
+            else:
+                kept += 1
+                kept_hits += got_on[i][k] == gold_fbid
+    assert refused_gold > 50, "refusal list should cover the junk golds"
+    assert kept > 250
+    # (b): accuracy on the anchors we still link must clear the old
+    # overall gate with room — the residue misses were junk anchors
+    assert kept_hits / kept >= 0.95, f"non-refused accuracy {kept_hits/kept:.3f}"
+    # (c): precision of emitted links strictly improves over refusal-off
+    assert emitted_on and hits_on / emitted_on > hits_off / emitted_off, (
+        f"precision on={hits_on}/{emitted_on} vs off={hits_off}/{emitted_off}"
+    )
