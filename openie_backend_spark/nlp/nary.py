@@ -103,20 +103,24 @@ class RelClauseExtraction(NamedTuple):
 
 
 _WH_WORDS = frozenset({"who", "whom", "which", "whose", "that"})
+_APPOS_DETS = frozenset({"a", "an", "the"})
 
 
-def relclause_extract(tokens, pos, chunks, triples=None) -> list[RelClauseExtraction]:
-    """Matrix-verb re-attachment across ``NP , who/which … ,``
-    brackets (see module docstring). Emits only the CORRECTED matrix
-    extraction — the clause-internal triple ("Marie Curie discovered
-    radium") already comes out of the plain ReVerb pass."""
+def _comma_brackets(tokens, pos, chunks):
+    """(head_np, open_comma, close_comma) for each parenthetical the
+    matrix clause skips over: ``NP , who/which … ,`` relative clauses
+    AND ``NP , a/an/the … ,`` appositives. Shared by the matrix
+    re-attachment pass and the appositive-copula pass."""
     n = len(tokens)
     nps = _np_spans(chunks)
-    out = []
-    # find (head_np, clause_start, clause_end) for each ", wh" bracket
     brackets = []
     for i in range(1, n - 1):
-        if tokens[i] != "," or tokens[i + 1].lower() not in _WH_WORDS:
+        if tokens[i] != ",":
+            continue
+        nxt = tokens[i + 1].lower()
+        is_rel = nxt in _WH_WORDS
+        is_appos = nxt in _APPOS_DETS and pos[i + 1] == "DT"
+        if not (is_rel or is_appos):
             continue
         head = next(((s, e) for s, e in nps if e == i), None)
         if head is None:
@@ -125,6 +129,22 @@ def relclause_extract(tokens, pos, chunks, triples=None) -> list[RelClauseExtrac
         if close is None:
             continue
         brackets.append((head, i, close))
+    return brackets
+
+
+def relclause_extract(tokens, pos, chunks, triples=None) -> list[RelClauseExtraction]:
+    """Matrix-verb re-attachment across ``NP , who/which … ,``
+    relative-clause brackets AND ``NP , a/an/the … ,`` appositive
+    brackets (see module docstring). In "Initech , a software company
+    from Springfield , hired Jane Doe" the shallow pass attaches the
+    matrix verb to the appositive NP ("a software company hired Jane
+    Doe"); this pass re-attaches it to the bracket's head NP. Emits
+    only the CORRECTED matrix extraction — the clause-internal triple
+    ("Marie Curie discovered radium") already comes out of the plain
+    ReVerb pass."""
+    n = len(tokens)
+    out = []
+    brackets = _comma_brackets(tokens, pos, chunks)
     if not brackets:
         return out
     if triples is None:
@@ -139,6 +159,112 @@ def relclause_extract(tokens, pos, chunks, triples=None) -> list[RelClauseExtrac
             ):
                 out.append(RelClauseExtraction(head, e.rel, e.arg2))
                 break
+    return out
+
+
+def appos_extract(tokens, pos, chunks) -> list[RelnounExtraction]:
+    """Appositive copulas (the srlie appositive family,
+    ``ScoobiOpenIE4.scala:66-137`` via the parse's appos arcs):
+    ``NP1 , a/an/the … ,`` asserts (NP1, be, appositive-NP) —
+    "Bob Smith , a veteran lawyer , joined the board" → (Bob Smith,
+    be, a veteran lawyer). The appositive span runs from the
+    determiner to the closing comma, so attached PPs ride along
+    ("a software company from Springfield"). The head NP must contain
+    a proper noun — list constructions over common nouns don't
+    appositive-copy. The role-of shape ("CEO of Initech") stays owned
+    by relnoun pattern C, which emits the richer (be ceo of, Org)."""
+    out = []
+    for head, open_c, close_c in _comma_brackets(tokens, pos, chunks):
+        nxt = tokens[open_c + 1].lower()
+        if nxt not in _APPOS_DETS:          # wh-bracket = relative clause
+            continue
+        if not any(pos[k] == "NNP" for k in range(head[0], head[1])):
+            continue
+        # relnoun pattern C owns "(DT)? role of Org" appositives
+        j = open_c + 2
+        if (
+            j < close_c
+            and tokens[j].lower() in RELATIONAL_NOUNS
+            and j + 1 < close_c
+            and tokens[j + 1].lower() == "of"
+        ):
+            continue
+        if close_c - (open_c + 1) < 2:      # a bare determiner is not a claim
+            continue
+        out.append(RelnounExtraction(head, "be", (open_c + 1, close_c)))
+    return out
+
+
+# object-control verbs: the matrix OBJECT is the understood subject of
+# the infinitive ("X persuaded Y to sell Z" -> Y sells Z). Closed class
+# keeps chunk-level precision; promise-class subject control excluded.
+CONTROL_VERBS = frozenset(
+    """persuade persuaded persuades ask asked asks urge urged urges
+    order ordered orders convince convinced convinces encourage
+    encouraged encourages force forced forces allow allowed allows
+    require required requires advise advised advises tell told tells
+    invite invited invites pressure pressured pressures""".split()
+)
+
+
+def xcomp_extract(tokens, pos, chunks, base=None) -> list[NaryExtraction]:
+    """Infinitival complements after the core object (srlie's xcomp
+    depth). For a base extraction (S, V1, O) whose core arg2 is
+    immediately followed by a ``to VB…`` verb phrase with its own
+    object:
+
+    * extended relation — (S, "V1 O to V2", O2 + attachments):
+      "Hooli announced plans to acquire Pied Piper" →
+      (Hooli, announced plans to acquire, Pied Piper). ReVerb's
+      longest V W* P chain stops at the NP, so this n-ary row is new.
+    * object control — when V1 is a control verb, the matrix object is
+      the infinitive's subject: "Acme persuaded Globex to sell the
+      unit" → (Globex, sell, the unit).
+    """
+    if base is None:
+        base = nary_extract(tokens, pos, chunks)
+    n = len(tokens)
+    out = []
+    for e in base:
+        o_end = e.arg2s[0][1]
+        # "to" starting a fresh VP right after the object NP
+        if not (o_end < n and pos[o_end] == "TO" and chunks[o_end] == "B-VP"):
+            continue
+        v_end = o_end + 1
+        while v_end < n and chunks[v_end] == "I-VP":
+            v_end += 1
+        # the word after "to" inside a VP chunk is a verb even when the
+        # tagger mislabels it (chunker commitment > POS label here)
+        if v_end == o_end + 1:
+            continue
+        # the infinitive's own object NP (+ trailing PP attachments)
+        if not (v_end < n and chunks[v_end] == "B-NP"):
+            continue
+        k = v_end + 1
+        while k < n and chunks[k] == "I-NP":
+            k += 1
+        arg2s = [(v_end, k)]
+        i = k
+        while i < n and pos[i] in ("IN", "TO") and tokens[i].lower() not in reverb.SUBORDINATORS:
+            j = i + 1
+            if j < n and chunks[j] in ("B-NP", "I-NP"):
+                m = j + 1
+                while m < n and chunks[m] == "I-NP":
+                    m += 1
+                arg2s.append((i, m))
+                i = m
+            else:
+                break
+        # extended relation: V1 chain + object + "to V2" as one span
+        out.append(NaryExtraction(e.arg1, (e.rel[0], v_end), arg2s))
+        # object control: matrix object is the infinitive's subject
+        last_verb = next(
+            (tokens[i].lower() for i in range(e.rel[1] - 1, e.rel[0] - 1, -1)
+             if pos[i].startswith("VB")),
+            None,
+        )
+        if last_verb in CONTROL_VERBS:
+            out.append(NaryExtraction(e.arg2s[0], (o_end + 1, v_end), arg2s))
     return out
 
 

@@ -47,7 +47,8 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rv = reverb.extract(toks, tags, chks)
                 base = nary.nary_extract(toks, tags, chks, triples=rv)
                 extra = (nary.conj_extract(toks, tags, chks, base)
-                         + nary.passive_extract(toks, tags, chks, base))
+                         + nary.passive_extract(toks, tags, chks, base)
+                         + nary.xcomp_extract(toks, tags, chks, base))
                 for e in base + extra:
                     a1 = " ".join(toks[e.arg1[0]:e.arg1[1]])
                     rel = " ".join(toks[e.rel[0]:e.rel[1]])
@@ -84,6 +85,18 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             r.rel_text,
                             stemmer.index_key_part(*seg(*r.arg2)),
                             0.8,
+                        )
+                    )
+                for ap in nary.appos_extract(toks, tags, chks):
+                    a1 = " ".join(toks[ap.arg1[0]:ap.arg1[1]])
+                    a2 = " ".join(toks[ap.arg2[0]:ap.arg2[1]])
+                    rows.append(
+                        (
+                            url, sid, "N", a1, ap.rel_text, [a2],
+                            stemmer.index_key_part(*seg(*ap.arg1)),
+                            ap.rel_text,
+                            stemmer.index_key_part(*seg(*ap.arg2)),
+                            0.75,
                         )
                     )
                 for rc in nary.relclause_extract(toks, tags, chks, triples=rv):

@@ -72,6 +72,40 @@ GOLD = [
      "T", "Acme Corp", "acquired", ["Globex", "in 2006"]),
     ("The factory was built by Initech in 1950 .",
      "T", "Initech", "built", ["The factory", "in 1950"]),
+    # --- round-4 depth (VERDICT r3 #5) ---
+    # nested clausal complements: inner report clause also extracted
+    ("The report said that analysts believe that Acme Corp acquired Globex .",
+     "C", "analysts", "believe", ["that Acme Corp acquired Globex"]),
+    ("Jane Doe claimed that Bob Smith knew that the deal closed in March .",
+     "C", "Bob Smith", "knew", ["that the deal closed in March"]),
+    # xcomp: extended relation through a nominal infinitive
+    ("Hooli announced plans to acquire Pied Piper for $ 1 billion .",
+     "T", "Hooli", "announced plans to acquire",
+     ["Pied Piper", "for $ 1 billion"]),
+    ("Globex made an offer to buy the factory in June .",
+     "T", "Globex", "made an offer to buy", ["the factory", "in June"]),
+    # xcomp: object control — matrix object is the infinitive's subject
+    ("Acme Corp persuaded Globex to sell the unit in March .",
+     "T", "Globex", "sell", ["the unit", "in March"]),
+    ("The board ordered Initech to close the plant .",
+     "T", "Initech", "close", ["the plant"]),
+    ("Regulators asked Hooli to divest the subsidiary in 2020 .",
+     "T", "Hooli", "divest", ["the subsidiary", "in 2020"]),
+    # appositive copulas
+    ("Bob Smith , a veteran lawyer , joined the board in May .",
+     "N", "Bob Smith", "be", ["a veteran lawyer"]),
+    ("Initech , a software company from Springfield , hired Jane Doe .",
+     "N", "Initech", "be", ["a software company from Springfield"]),
+    ("Marie Curie , the famous physicist , won two Nobel Prizes .",
+     "N", "Marie Curie", "be", ["the famous physicist"]),
+    # appositive-bracket matrix re-attachment (the shallow pass had
+    # attached the matrix verb to the appositive NP)
+    ("Initech , a software company from Springfield , hired Jane Doe .",
+     "R", "Initech", "hired", ["Jane Doe"]),
+    # when the shallow pass already picked the right subject, the
+    # appositive bracket must not be needed (plain T row stands)
+    ("Bob Smith , a veteran lawyer , joined the board in May .",
+     "T", "Bob Smith", "joined", ["the board", "in May"]),
 ]
 
 
@@ -81,7 +115,8 @@ def _predicted(sentence):
     join = lambda a, b: " ".join(toks[a:b])
     base = nary.nary_extract(toks, tags, chks)
     extra = (nary.conj_extract(toks, tags, chks, base)
-             + nary.passive_extract(toks, tags, chks, base))
+             + nary.passive_extract(toks, tags, chks, base)
+             + nary.xcomp_extract(toks, tags, chks, base))
     for e in base + extra:
         out.add(("T", join(*e.arg1), join(*e.rel),
                  tuple(join(a, b) for a, b in e.arg2s)))
@@ -89,6 +124,8 @@ def _predicted(sentence):
         out.add(("C", join(*c.arg1), join(*c.rel), (join(*c.arg2),)))
     for r in nary.relnoun_extract(toks, tags, chks):
         out.add(("N", join(*r.arg1), r.rel_text, (join(*r.arg2),)))
+    for ap in nary.appos_extract(toks, tags, chks):
+        out.add(("N", join(*ap.arg1), ap.rel_text, (join(*ap.arg2),)))
     for rc in nary.relclause_extract(toks, tags, chks):
         out.add(("R", join(*rc.arg1), join(*rc.rel), (join(*rc.arg2),)))
     return out
