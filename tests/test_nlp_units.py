@@ -138,3 +138,51 @@ def test_relnoun_appositive_of():
             for r in nary.relnoun_extract(toks, tags, chks)
         ]
         assert want in got, f"{s} -> {got}"
+
+
+def test_appos_guards():
+    """Appositive copula fires only on proper-noun heads with a real
+    description; relnoun pattern C keeps the role-of shape."""
+    from openie_backend_spark.nlp import nary
+
+    def appos(s):
+        toks, tags, chks = chunker.chunk_sentence(s)
+        return [
+            (" ".join(toks[a.arg1[0]:a.arg1[1]]), a.rel_text,
+             " ".join(toks[a.arg2[0]:a.arg2[1]]))
+            for a in nary.appos_extract(toks, tags, chks)
+        ]
+
+    # role-of appositive stays owned by relnoun pattern C
+    assert appos("Bob Smith , CEO of Initech , resigned .") == []
+    # common-noun head: not an appositive copula claim
+    assert appos("The dog , a terrier , barked .") == []
+    # no closing comma: no bracket
+    assert appos("Bob Smith , a lawyer went home .") == []
+    # the real thing
+    assert appos("Bob Smith , a veteran lawyer , resigned .") == [
+        ("Bob Smith", "be", "a veteran lawyer")
+    ]
+
+
+def test_xcomp_object_control_guard():
+    """Object control fires only for control verbs; plain transitives
+    still get the extended-relation row but never re-subject the
+    infinitive to their object."""
+    from openie_backend_spark.nlp import nary
+
+    def rows(s):
+        toks, tags, chks = chunker.chunk_sentence(s)
+        base = nary.nary_extract(toks, tags, chks)
+        j = lambda a, b: " ".join(toks[a:b])
+        return [
+            (j(*e.arg1), j(*e.rel), [j(a, b) for a, b in e.arg2s])
+            for e in nary.xcomp_extract(toks, tags, chks, base)
+        ]
+
+    got = rows("Hooli announced plans to acquire Pied Piper .")
+    assert ("Hooli", "announced plans to acquire", ["Pied Piper"]) in got
+    # 'announced' is not a control verb: no (plans, acquire, ...) row
+    assert not any(r[0] == "plans" for r in got)
+    got2 = rows("Acme Corp persuaded Globex to sell the unit .")
+    assert ("Globex", "sell", ["the unit"]) in got2
