@@ -17,6 +17,41 @@ import sys
 import time
 
 
+def tree_cpu_seconds() -> float:
+    """user+sys CPU seconds of this process and ALL live descendants
+    (the local-mode JVM and its forked pyspark worker daemons), read
+    from /proc. Per-query deltas give a bandwidth-insensitive
+    complement to wall time: co-tenant storms inflate wall but not
+    this tree's CPU, and CPython NLP cost shows up here even though
+    it runs outside Spark's JVM task metrics."""
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, float]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (
+                int(parts[1]),
+                (int(parts[11]) + int(parts[12])) / clk,
+            )
+        except (OSError, IndexError, ValueError):
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0.0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += procs.get(p, (0, 0.0))[1]
+        stack.extend(children.get(p, []))
+    return total
+
+
 def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) -> dict:
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -43,12 +78,15 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) 
         "txt_quality",
     ]
     timings: dict[str, float] = {}
+    cpu: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in suite:
         t0 = time.time()
+        c0 = tree_cpu_seconds()
         df = qs[name](spark, sf_dir)
         n = df.count()
         dt = time.time() - t0
+        cpu[name] = round(tree_cpu_seconds() - c0, 3)
         timings[name] = round(dt, 3)
         if name == "kg_spo":
             extras["kg_triples"] = n
@@ -64,6 +102,9 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) 
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpu_seconds": cpu,
+        "cpu_total": round(sum(cpu.values()), 3),
+        "tagger": os.environ.get("OPENIE_TAGGER", "perceptron"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "docs": docs_count,

@@ -237,7 +237,17 @@ class PerceptronTagger(_AveragedPerceptron):
         seed: int = 13,
         min_freq: int = 5,
         ambiguity: float = 0.97,
+        history: str = "gold",
     ) -> None:
+        """``history='pred'`` feeds the model's own prediction into the
+        prev/prev2 features during training (the canonical Collins/
+        Honnibal recipe — no train/decode exposure mismatch);
+        ``'gold'`` conditions on gold tags. Measured on the held-out
+        web split (ADVICE r3): pred 0.9267 POS / 0.9764 chunk vs gold
+        0.9261 / 0.9757, but the end-to-end raw-path triple gate is
+        P/R 0.8328/0.8287 (pred) vs 0.8363/0.8396 (gold) — neither
+        measurably wins, and the downstream gate favors gold, so gold
+        stays the default the shipped models are trained with."""
         counts: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
         tagset = set()
         for toks, tags in sentences:
@@ -274,8 +284,7 @@ class PerceptronTagger(_AveragedPerceptron):
                         feats = _features(i, word, context, prev, prev2)
                         t = self._predict(feats, self.tag_dict.get(norm))
                         self._update(gold[i], t, feats)
-                    # gold tags feed the history during training
-                    prev2, prev = prev, gold[i]
+                    prev2, prev = prev, (t if history == "pred" else gold[i])
         self._finalize_training()
 
     # ----------------------------------------------------------- io
@@ -374,7 +383,11 @@ class PerceptronChunker(_AveragedPerceptron):
         sentences: list[tuple[list[str], list[str], list[str]]],
         epochs: int = 8,
         seed: int = 29,
+        history: str = "gold",
     ) -> None:
+        """``history`` semantics as in PerceptronTagger.train (same
+        ADVICE-r3 A/B; gold default, measured slightly better
+        end-to-end)."""
         tagset = set()
         pos_chunks: dict[str, set[str]] = {}
         for _, pos, chunks in sentences:
@@ -397,7 +410,7 @@ class PerceptronChunker(_AveragedPerceptron):
                     feats = _chunk_features(i, words, ptags, prev)
                     t = self._predict(feats, self.pos_dict.get(pos[i]))
                     self._update(gold[i], t, feats)
-                    prev = gold[i]
+                    prev = t if history == "pred" else gold[i]
         self._finalize_training()
 
     def save(self, path: str = CHUNKER_MODEL_PATH) -> None:
@@ -423,7 +436,12 @@ _CACHED_CHUNKER: PerceptronChunker | None = None
 
 def get_tagger() -> PerceptronTagger | None:
     """Process-wide cached model; None when no model file is present
-    (the rule/lexicon tagger then remains the raw path)."""
+    (the rule/lexicon tagger then remains the raw path).
+    ``OPENIE_TAGGER=rule`` forces the rule path — the bench A/B switch
+    for separating perceptron cost from box noise (local-mode python
+    workers inherit the driver's environment)."""
+    if os.environ.get("OPENIE_TAGGER") == "rule":
+        return None
     global _CACHED
     if _CACHED is None and os.path.exists(MODEL_PATH):
         _CACHED = PerceptronTagger.load()
@@ -431,6 +449,8 @@ def get_tagger() -> PerceptronTagger | None:
 
 
 def get_chunker() -> PerceptronChunker | None:
+    if os.environ.get("OPENIE_TAGGER") == "rule":
+        return None
     global _CACHED_CHUNKER
     if _CACHED_CHUNKER is None and os.path.exists(CHUNKER_MODEL_PATH):
         _CACHED_CHUNKER = PerceptronChunker.load()

@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import functions as F
+
 from openie_backend_spark.operators.query import QuerySpec, fetch_groups
 from openie_backend_spark.session import get_spark
 
@@ -69,6 +71,63 @@ def main():
         },
     }
     print(json.dumps(out))
+
+    # --- pruned point-read protocol (VERDICT r3 #7): the same 60-query
+    # budget against the BUCKETED SPO table via lookup_subject, with
+    # per-query scanned-file evidence read off the executed plan's scan
+    # metrics (numFiles / numPartitions) — demonstrating the
+    # O(table/n_buckets) claim with execution metrics, not plan text.
+    import os
+
+    from openie_backend_spark.operators.materialize import (
+        lookup_subject, spo_table,
+    )
+
+    n_buckets = 16
+    spo_dir = "/tmp/qbench_spo"
+    spo = spo_table(groups).withColumn(
+        "_bucket", F.pmod(F.hash(F.col("subject_id")), F.lit(n_buckets))
+    )
+    spo.write.mode("overwrite").partitionBy("_bucket").parquet(spo_dir)
+    total_files = sum(
+        1 for root, _, files in os.walk(spo_dir)
+        for f in files if f.endswith(".parquet")
+    )
+    subject_ids = [r["subject_id"] for r in
+                   spo.select("subject_id").distinct().collect()]
+    rng2 = random.Random(43)
+    point_lat, files_read, parts_read = [], [], []
+    for _ in range(n_queries):
+        sid = subject_ids[rng2.randrange(len(subject_ids))]
+        t0 = time.time()
+        df = lookup_subject(spark, spo_dir, sid, n_buckets=n_buckets)
+        rows = df.collect()
+        point_lat.append(time.time() - t0)
+        assert rows, f"point lookup lost subject {sid}"
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            mets = leaves.apply(i).metrics()
+            it = mets.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    files_read.append(int(kv._2().value()))
+                elif kv._1() == "numPartitions":
+                    parts_read.append(int(kv._2().value()))
+    out2 = {
+        "point_queries": n_queries,
+        "point_avg_ms": round(1000 * sum(point_lat) / n_queries, 1),
+        "n_buckets": n_buckets,
+        "table_files": total_files,
+        "files_read_max": max(files_read),
+        "files_read_avg": round(sum(files_read) / len(files_read), 1),
+        "partitions_read_max": max(parts_read),
+    }
+    print(json.dumps(out2))
+    assert out2["partitions_read_max"] == 1, "bucket pruning regressed"
+    assert out2["files_read_max"] * n_buckets <= total_files * 2, (
+        "files read should be ~ table_files / n_buckets"
+    )
 
 
 if __name__ == "__main__":

@@ -145,8 +145,10 @@ def main() -> None:
     print(f"train sentences: {len(train)} (web {len(train_web)}, wsj {len(wsj)}); "
           f"held-out web: {len(heldout)}")
 
+    history = os.environ.get("HISTORY", "gold")
     tagger = PerceptronTagger()
-    tagger.train(train, epochs=int(os.environ.get("EPOCHS", "8")))
+    tagger.train(train, epochs=int(os.environ.get("EPOCHS", "8")),
+                 history=history)
 
     # POS accuracy on held-out web sentences
     ok = tot = 0
@@ -171,13 +173,15 @@ def main() -> None:
             (t, p) for i, (t, p, _) in enumerate(all_train) if i % folds != f
         ]
         ft = PerceptronTagger()
-        ft.train(fold_train, epochs=max(4, int(os.environ.get("EPOCHS", "8")) // 2))
+        ft.train(fold_train, epochs=max(4, int(os.environ.get("EPOCHS", "8")) // 2),
+                 history=history)
         for i, (t, _, chk) in enumerate(all_train):
             if i % folds == f:
                 jack.append((t, ft.tag(t), chk))
     chk_train = [(t, p, c) for t, p, c in all_train] + jack
     chunker_model = PerceptronChunker()
-    chunker_model.train(chk_train, epochs=int(os.environ.get("EPOCHS", "8")))
+    chunker_model.train(chk_train, epochs=int(os.environ.get("EPOCHS", "8")),
+                        history=history)
 
     cok = ctot = 0
     for toks_t, (gold_pos, gold_chk) in heldout.items():
@@ -190,8 +194,12 @@ def main() -> None:
     print(f"held-out raw-vs-given triple P={p:.4f} R={r:.4f} "
           f"(raw {n_raw}, given {n_given})")
 
-    tagger.save(MODEL_PATH)
-    chunker_model.save(CHUNKER_MODEL_PATH)
+    if os.environ.get("SAVE", "1") != "0":
+        tagger.save(MODEL_PATH)
+        chunker_model.save(CHUNKER_MODEL_PATH)
+    else:
+        print("SAVE=0: models NOT written")
+        return
     print(f"models written: {MODEL_PATH} "
           f"({os.path.getsize(MODEL_PATH) / 1024:.0f} KiB, "
           f"{len(tagger.weights)} features, "
