@@ -41,7 +41,12 @@ def main() -> None:
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     runs: list[dict] = []
     for i in range(n_pairs):
-        for arm in ("perceptron", "rule"):
+        # alternate arm order across pairs: the first bench of a fresh
+        # JVM pays JIT warmup and the heavier kg_spo raises GC pressure
+        # for the rest of its suite, so a fixed order would bias the
+        # tell queries against whichever arm always runs first
+        order = ("perceptron", "rule") if i % 2 == 0 else ("rule", "perceptron")
+        for arm in order:
             r = run_bench(arm)
             r["arm"] = arm
             runs.append(r)

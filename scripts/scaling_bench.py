@@ -70,6 +70,7 @@ def calibrate(n: int) -> float:
 
 WORKER = """
 import json, os, sys, time
+from bench import tree_cpu_seconds
 from pyspark.sql import functions as F
 from openie_backend_spark.session import get_spark
 from openie_backend_spark.operators.extract import extract_pages
@@ -154,13 +155,16 @@ small.select(F.sum(F.length("text"))).collect()
 ex = instance_quality_filter(extract_pages(small, include_layers=False), min_conf=0.0)
 spo_table(group_extractions(ex)).count()
 
+c0 = tree_cpu_seconds()
 t0 = time.time(); triples = kg(big); big_sec = time.time() - t0
+big_cpu = tree_cpu_seconds() - c0
 t0 = time.time(); kg(small); small_sec = time.time() - t0
 mh_sec, pairs = None, None
 if len(sys.argv) > 5 and sys.argv[5] == "mh":
     t0 = time.time(); pairs = mh(); mh_sec = round(time.time() - t0, 2)
 print(json.dumps({"cpus": cpus, "base_docs": base_docs,
                   "big_sec": round(big_sec, 2), "small_sec": round(small_sec, 2),
+                  "big_cpu": round(big_cpu, 2),
                   "triples": triples, "mh_sec": mh_sec, "pairs": pairs}), flush=True)
 """
 
@@ -221,6 +225,13 @@ def main():
             "marg_eff": round(marg, 3) if marg is not None else None,
             "ceiling": round(ceiling, 3),
             "norm_eff": round(min(raw / ceiling, 1.0), 3),
+            # CPU-seconds of the timed big run at each level (tree-CPU
+            # of the fresh JVM; bandwidth/co-tenant-insensitive). The
+            # ratio hi/lo ~ 1.0 means the 4N level does the SAME work —
+            # wall-eff losses then are contention, not extra compute.
+            "n_cpu": a.get("big_cpu"), "hi_cpu": b.get("big_cpu"),
+            "cpu_ratio": round(b["big_cpu"] / a["big_cpu"], 3)
+            if a.get("big_cpu") and b.get("big_cpu") else None,
             "triples": b["triples"],
         })
         assert a["triples"] == b["triples"], "determinism: outputs differ across levels"
@@ -229,7 +240,8 @@ def main():
             assert a["pairs"] == b["pairs"]
         print(f"pair {i+1}/{n_pairs}: raw {raw:.3f} marg {marg} "
               f"ceiling {ceiling:.3f} norm {min(raw / ceiling, 1.0):.3f} "
-              f"(N {a['big_sec']}s, 4N {b['big_sec']}s)", file=sys.stderr)
+              f"(N {a['big_sec']}s/{a.get('big_cpu')}cpu, "
+              f"4N {b['big_sec']}s/{b.get('big_cpu')}cpu)", file=sys.stderr)
 
     # eff = (docs/s at 4N) / (4 x docs/s at N) = lo_sec / (4 * hi_sec)
     mh_eff = mh_lo["mh_sec"] / mh_hi["mh_sec"] / 4
