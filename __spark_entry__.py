@@ -659,6 +659,12 @@ def _ensure_tab_fixture() -> str:
         "alpha beta gamma delta epsilon", "NNP NN VBZ NN NN",
         "B-NP I-NP B-VP B-NP I-NP", "http://example.org/bad",
     ]))
+    # inverted span (Interval.open throws in the reference) -> drop
+    lines.append("\t".join([
+        "[0, 2)", "[2, 3)", "[5, 3)",
+        "alpha beta gamma delta epsilon", "NNP NN VBZ NN NN",
+        "B-NP I-NP B-VP B-NP I-NP", "http://example.org/inverted",
+    ]))
     tmp = f"{_TAB_FIXTURE}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -821,7 +827,9 @@ def _s5_pipeline_resume_oracle_sql() -> str:
     return f"""
         WITH ext AS (SELECT * FROM read_parquet('{ext_synth}')),
         flt AS (SELECT * FROM ext WHERE ({_F2}) AND confidence >= 0.5),
-        ded AS (SELECT DISTINCT arg1_norm, rel_norm, arg2_norm, {_INST_SLIM}
+        ded AS (SELECT DISTINCT arg1_norm, rel_norm, arg2_norm,
+                {_INST_SLIM.replace('confidence',
+                                    'round(confidence, 3) AS confidence')}
                 FROM flt),
         grp AS (SELECT arg1_norm, rel_norm, arg2_norm, count(*) AS size
                 FROM ded GROUP BY 1, 2, 3),
@@ -1303,12 +1311,9 @@ def oracle_sql() -> dict[str, str]:
                    c3 AS token_str, c4 AS tag_str,
                    CASE WHEN c6 = 'None' THEN '' ELSE c6 END AS url
             FROM raw
-            WHERE {_tab_iv_sql('c0', 's')} IS NOT NULL
-              AND {_tab_iv_sql('c0', 'e')} IS NOT NULL
-              AND {_tab_iv_sql('c1', 's')} IS NOT NULL
-              AND {_tab_iv_sql('c1', 'e')} IS NOT NULL
-              AND {_tab_iv_sql('c2', 's')} IS NOT NULL
-              AND {_tab_iv_sql('c2', 'e')} IS NOT NULL
+            WHERE {_tab_iv_sql('c0', 'e')} > {_tab_iv_sql('c0', 's')}
+              AND {_tab_iv_sql('c1', 'e')} > {_tab_iv_sql('c1', 's')}
+              AND {_tab_iv_sql('c2', 'e')} > {_tab_iv_sql('c2', 's')}
         """,
         "j2_salted_join": """
             SELECT c_mktsegment, count(*) AS cnt,

@@ -32,9 +32,16 @@ def tree_cpu_seconds() -> float:
         try:
             with open(f"/proc/{pid}/stat") as fh:
                 parts = fh.read().rsplit(")", 1)[1].split()
+            # utime+stime of the process PLUS cutime/cstime of its
+            # reaped children: when Spark recycles an idle python
+            # worker between two samples, its accumulated CPU migrates
+            # into the daemon's cutime instead of vanishing — without
+            # this, a query's delta could go NEGATIVE by the dead
+            # worker's whole lifetime CPU
             procs[int(pid)] = (
                 int(parts[1]),
-                (int(parts[11]) + int(parts[12])) / clk,
+                (int(parts[11]) + int(parts[12])
+                 + int(parts[13]) + int(parts[14])) / clk,
             )
         except (OSError, IndexError, ValueError):
             continue

@@ -35,7 +35,8 @@ def _extract_lines(lines, url: str, nary_mode: bool):
                 rv = reverb.extract(toks, tags, chks)
                 base = nary.nary_extract(toks, tags, chks, triples=rv)
                 extra = (nary.conj_extract(toks, tags, chks, base)
-                         + nary.passive_extract(toks, tags, chks, base))
+                         + nary.passive_extract(toks, tags, chks, base)
+                         + nary.xcomp_extract(toks, tags, chks, base))
                 join = lambda a, b: " ".join(toks[a:b])
                 for e in base + extra:
                     yield "\t".join(
@@ -48,6 +49,9 @@ def _extract_lines(lines, url: str, nary_mode: bool):
                 for r in nary.relnoun_extract(toks, tags, chks):
                     yield "\t".join(
                         ["N", join(*r.arg1), r.rel_text, join(*r.arg2)])
+                for ap_ in nary.appos_extract(toks, tags, chks):
+                    yield "\t".join(
+                        ["N", join(*ap_.arg1), ap_.rel_text, join(*ap_.arg2)])
                 for rc in nary.relclause_extract(toks, tags, chks, triples=rv):
                     yield "\t".join(
                         ["R", join(*rc.arg1), join(*rc.rel), join(*rc.arg2)])

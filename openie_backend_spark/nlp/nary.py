@@ -128,6 +128,15 @@ def _comma_brackets(tokens, pos, chunks):
         close = next((j for j in range(i + 2, n) if tokens[j] == ","), None)
         if close is None:
             continue
+        # an APPOSITIVE bracket is a verbless NP description; a span
+        # containing a verb phrase is a clause ("In March , the company
+        # hired Jane Doe , analysts said") — not an appositive, and
+        # re-attaching across it would be wrong too. Relative-clause
+        # (wh) brackets contain VPs by design.
+        if is_appos and any(
+            chunks[k] in ("B-VP", "I-VP") for k in range(i + 1, close)
+        ):
+            continue
         brackets.append((head, i, close))
     return brackets
 
@@ -178,7 +187,7 @@ def appos_extract(tokens, pos, chunks) -> list[RelnounExtraction]:
         nxt = tokens[open_c + 1].lower()
         if nxt not in _APPOS_DETS:          # wh-bracket = relative clause
             continue
-        if not any(pos[k] == "NNP" for k in range(head[0], head[1])):
+        if not any(pos[k].startswith("NNP") for k in range(head[0], head[1])):
             continue
         # relnoun pattern C owns "(DT)? role of Org" appositives
         j = open_c + 2

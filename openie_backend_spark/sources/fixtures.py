@@ -46,11 +46,15 @@ def parse_interval(text: str) -> tuple[int, int]:
     nums = _NUM_RE.findall(text)
     if len(nums) == 2:
         start, end = int(nums[0]), int(nums[1])
-        return (start, end) if text.endswith(")") else (start, end + 1)
-    if len(nums) == 1:
+        out = (start, end) if text.endswith(")") else (start, end + 1)
+    elif len(nums) == 1:
         n = int(nums[0])
-        return n, n + 1
-    raise ValueError(f"bad interval: {text!r}")
+        out = (n, n + 1)
+    else:
+        raise ValueError(f"bad interval: {text!r}")
+    if out[1] <= out[0]:  # Interval.open/closed throws on inversion
+        raise ValueError(f"inverted interval: {text!r}")
+    return out
 
 
 def available() -> bool:

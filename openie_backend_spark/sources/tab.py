@@ -19,9 +19,12 @@ def _interval_bounds(col):
     honoring all three forms ``intervalFromString`` accepts
     (``ReVerbExtraction.scala:180-196``): ``[a, b)`` open, ``[a, b]``
     closed (end-inclusive, so end+1 in our half-open convention), and
-    ``{n}`` singleton (= ``[n, n+1)``). Any other shape yields NULL
-    bounds, and the reader drops the line — matching the reference,
-    which fails the whole line unless all three intervals parse.
+    ``{n}`` singleton (= ``[n, n+1)``). Like the reference's
+    ``numExtractorPattern.findAllIn``, the digit runs may appear in
+    any surrounding shape; a string with zero or 3+ digit runs yields
+    NULL bounds, and an INVERTED span (end <= start, which makes
+    ``Interval.open/closed`` throw in the reference and fail the
+    line) is dropped by the reader's filter below.
     """
     nums = F.regexp_extract_all(col, F.lit(r"\d+"), 0)
     n = F.size(nums)
@@ -53,10 +56,16 @@ def read_extractions_tab(spark: SparkSession, path: str) -> DataFrame:
         F.when(c[6] == "None", F.lit(None)).otherwise(c[6]).alias("url"),
     )
     # reference drops the line unless ALL three intervals parsed
-    # (argIntervals.size != 3 -> failure, ReVerbExtraction.scala:160)
+    # (argIntervals.size != 3 -> failure, ReVerbExtraction.scala:160);
+    # inverted spans make Interval.open/closed throw there -> same drop
     all_parsed = F.lit(True)
-    for f in ("arg1_start", "arg1_end", "rel_start", "rel_end", "arg2_start", "arg2_end"):
-        all_parsed = all_parsed & F.col(f).isNotNull()
+    for side in ("arg1", "rel", "arg2"):
+        all_parsed = (
+            all_parsed
+            & F.col(f"{side}_start").isNotNull()
+            & F.col(f"{side}_end").isNotNull()
+            & (F.col(f"{side}_end") > F.col(f"{side}_start"))
+        )
     return out.filter(all_parsed)
 
 

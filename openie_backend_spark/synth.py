@@ -277,12 +277,17 @@ def ensure_corpus(n_pages: int = DEFAULT_N_PAGES) -> str:
         base = os.path.dirname(d)
         keep_prefix = f"openie_synth_cache_{mirror.source_version()}_"
         for entry in os.listdir(base):
-            if (
-                entry.startswith("openie_synth_cache_")
-                and ".tmp." not in entry
-                and not entry.startswith(keep_prefix)
-            ):
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            if not entry.startswith("openie_synth_cache_"):
+                continue
+            if ".tmp." in entry:
+                # staging dir: spare it only while its owner is alive —
+                # a crashed generator's orphan must not accrete forever
+                pid = entry.rsplit(".tmp.", 1)[1]
+                if pid.isdigit() and os.path.exists(f"/proc/{pid}"):
+                    continue
+            elif entry.startswith(keep_prefix):
+                continue
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     return d
 
 

@@ -33,8 +33,13 @@ def run_bench(tagger: str) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
     )
-    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py ({tagger}) failed rc={p.returncode}:\n"
+            f"{p.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -186,3 +186,23 @@ def test_xcomp_object_control_guard():
     assert not any(r[0] == "plans" for r in got)
     got2 = rows("Acme Corp persuaded Globex to sell the unit .")
     assert ("Globex", "sell", ["the unit"]) in got2
+
+
+def test_appos_rejects_adverbial_np_brackets():
+    """A comma bracket containing a verb phrase is a clause, not an
+    appositive: no copula row, and no matrix re-attachment across it
+    (code-review r4 finding)."""
+    from openie_backend_spark.nlp import nary
+
+    toks, tags, chks = chunker.chunk_sentence(
+        "In March , the company hired Jane Doe , analysts said .")
+    assert nary.appos_extract(toks, tags, chks) == []
+    rc = nary.relclause_extract(toks, tags, chks)
+    assert not any(
+        " ".join(toks[r.arg1[0]:r.arg1[1]]) == "March" for r in rc
+    )
+    # plural proper heads (NNPS) still qualify for the copula
+    toks2, tags2, chks2 = chunker.chunk_sentence(
+        "The Stones , a rock band , played first .")
+    if any(t == "NNPS" for t in tags2):
+        assert nary.appos_extract(toks2, tags2, chks2)
