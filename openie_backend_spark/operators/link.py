@@ -143,6 +143,7 @@ def _link_side(
     side: str,
     broadcast_dim: bool,
     refuse_junk: bool = True,
+    min_score: float = 0.0,
 ) -> DataFrame:
     """Resolve one argument side to its best entity candidate."""
     head_col = f"{side}_head"
@@ -210,6 +211,11 @@ def _link_side(
 
     best = (
         cands.withColumn("_score", score)
+        # acceptance floor: candidates below min_score never compete,
+        # so a group whose best candidate is sub-threshold gets NO
+        # link (NULL after the caller's left join) instead of a weak
+        # one. Default 0.0 keeps every candidate (scores are >= 0).
+        .filter(F.col("_score") >= F.lit(min_score))
         # longest matching suffix wins; among equals, best score
         .groupBy(*GROUP_KEY)
         .agg(
@@ -252,7 +258,8 @@ def link_groups(
     out = groups
     for side in ("arg1", "arg2"):
         linked = _link_side(groups, cand_dim, side, broadcast_dim,
-                            refuse_junk=refuse_junk_anchors)
+                            refuse_junk=refuse_junk_anchors,
+                            min_score=min_score)
         out = out.join(linked, GROUP_KEY, "left")
     empty = F.array().cast("array<string>")
     return (

@@ -415,3 +415,16 @@ def test_query_empty_phrase_list_matches_nothing(spark):
     # and an empty list doesn't reach isin() with zero values (no raise)
     assert fetch_groups(groups, QuerySpec(arg1=[], rel="found", stem=False,
                                           conjunction=False)).count() == 1
+
+
+def test_link_min_score_floor(spark, pipeline_tables):
+    from openie_backend_spark.operators import link
+
+    dims = pipeline_tables["dims"]
+    groups = pipeline_tables["groups"]
+    base = link.link_groups(groups, dims)
+    floored = link.link_groups(groups, dims, min_score=1e9)
+    assert base.filter(F.col("arg1_entity").isNotNull()).count() > 0
+    # an impossible floor converts every link to a no-link, never drops rows
+    assert floored.filter(F.col("arg1_entity").isNotNull()).count() == 0
+    assert floored.count() == base.count()
