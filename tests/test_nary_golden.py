@@ -168,3 +168,58 @@ def test_nary_golden_pr():
     print(f"nary golden recall {recall:.3f} ({tp}/{tp+fn}), "
           f"{n_pred} predictions over {len(GOLD)} sentences")
     assert recall >= 0.8, f"misses: {misses}"
+
+
+# (tokens, pos, chunks) hand-built GOLD layers for constructions the
+# raw-path tagger currently fumbles ("signed"->IN, "Prize"->IN,
+# "close"->RB): these pin the CONSTRUCTION logic itself, independent
+# of tagger quality — srlie consumes gold-quality parses the same way.
+GIVEN_LAYER_GOLD = [
+    (("Marie Curie won the Nobel Prize in 1911 .".split(),
+      ["NNP", "NNP", "VBD", "DT", "NNP", "NNP", "IN", "CD", "."],
+      ["B-NP", "I-NP", "B-VP", "B-NP", "I-NP", "I-NP", "B-PP", "B-NP", "O"]),
+     "T", "Marie Curie", "won", ["the Nobel Prize", "in 1911"]),
+    (("Initech signed an agreement to sell the division in May .".split(),
+      ["NNP", "VBD", "DT", "NN", "TO", "VB", "DT", "NN", "IN", "NNP", "."],
+      ["B-NP", "B-VP", "B-NP", "I-NP", "B-VP", "I-VP", "B-NP", "I-NP",
+       "B-PP", "B-NP", "O"]),
+     "T", "Initech", "signed an agreement to sell", ["the division", "in May"]),
+    (("Regulators required Hooli to divest the subsidiary .".split(),
+      ["NNS", "VBD", "NNP", "TO", "VB", "DT", "NN", "."],
+      ["B-NP", "B-VP", "B-NP", "B-VP", "I-VP", "B-NP", "I-NP", "O"]),
+     "T", "Hooli", "divest", ["the subsidiary"]),
+    (("The board ordered Initech to close the plant .".split(),
+      ["DT", "NN", "VBD", "NNP", "TO", "VB", "DT", "NN", "."],
+      ["B-NP", "I-NP", "B-VP", "B-NP", "B-VP", "I-VP", "B-NP", "I-NP", "O"]),
+     "T", "Initech", "close", ["the plant"]),
+    (("The Rolling Stones , a rock band , played Hyde Park .".split(),
+      ["DT", "NNP", "NNPS", ",", "DT", "NN", "NN", ",", "VBD", "NNP",
+       "NNP", "."],
+      ["B-NP", "I-NP", "I-NP", "O", "B-NP", "I-NP", "I-NP", "O", "B-VP",
+       "B-NP", "I-NP", "O"]),
+     "N", "The Rolling Stones", "be", ["a rock band"]),
+]
+
+
+def test_nary_given_layer_constructions():
+    """With gold-quality layers every labeled construction must be
+    found — misses here are logic bugs, not tagger noise."""
+    for (toks, tags, chks), kind, a1, rel, a2s in GIVEN_LAYER_GOLD:
+        assert len(toks) == len(tags) == len(chks), (toks, tags, chks)
+        join = lambda a, b: " ".join(toks[a:b])
+        preds = set()
+        base = nary.nary_extract(toks, tags, chks)
+        extra = (nary.conj_extract(toks, tags, chks, base)
+                 + nary.passive_extract(toks, tags, chks, base)
+                 + nary.xcomp_extract(toks, tags, chks, base))
+        for e in base + extra:
+            preds.add(("T", join(*e.arg1), join(*e.rel),
+                       tuple(join(a, b) for a, b in e.arg2s)))
+        for ap in nary.appos_extract(toks, tags, chks):
+            preds.add(("N", join(*ap.arg1), ap.rel_text, (join(*ap.arg2),)))
+        hit = any(
+            p[0] == kind and p[1] == a1 and p[2] == rel
+            and p[3][: len(a2s)] == tuple(a2s)
+            for p in preds
+        )
+        assert hit, f"{' '.join(toks)!r}: want {(kind, a1, rel, a2s)}, got {sorted(preds)}"
