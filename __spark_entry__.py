@@ -1050,6 +1050,52 @@ def _embedding_neardup_sql(threshold: float, n_planes: int = 16, bands: int = 2)
     """
 
 
+def _ann_lsh_sql() -> str:
+    """Mirror of similarity.lsh_topk at the query defaults (6 planes,
+    dim 64, Hamming-1 multi-probe): bucket bits from the same LCG
+    hyperplanes, query side expanded to n_planes+1 probe buckets."""
+    from openie_backend_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6)
+    n = len(planes)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{plane}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    flips = "\n                UNION ALL ".join(
+        "SELECT query_id, qvec, qnrm, "
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, {i + 2}) AS bucket FROM q"
+        for i in range(n)
+    )
+    return f"""
+            WITH c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))) AS nrm,
+                       {bucket} AS bucket
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, v AS qvec, nrm AS qnrm, bucket
+                FROM c WHERE vec_id < 3
+            ), qp AS (
+                SELECT query_id, qvec, qnrm, bucket FROM q
+                UNION ALL {flips}
+            ), scored AS (
+                SELECT qp.query_id, c.vec_id,
+                       round(list_dot_product(c.v, qp.qvec) / (c.nrm * qp.qnrm), 4) AS cosine
+                FROM c JOIN qp USING (bucket)
+                WHERE c.nrm > 0 AND qp.qnrm > 0
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # KG-pipeline oracles: DuckDB SQL over single-process mirror parquet
     # (see openie_backend_spark/kg_oracles.py). Built first so a mirror
@@ -1258,25 +1304,7 @@ def oracle_sql() -> dict[str, str]:
             + " AS BIGINT) AS simhash FROM v"
         ),
         "dedup_embedding": _embedding_neardup_sql(threshold=0.3),
-        "ann_lsh": """
-            WITH c AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
-                       (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [0.9728490673569181,0.8226381536211447,0.6263032879704529,0.09098604554406786,0.06551786022695749,-0.4463152817536793,0.6115417039816666,0.28823474866770593,0.9252857475612146,-0.16154171771225445,0.6821775503328895,-0.7634231092676349,-0.22422015542121787,-0.45796754805960116,-0.09261995987523552,-0.7470733480206083,0.5696353871359314,-0.3728568785401605,-0.6758498312541457,0.8397944556120993,0.8403848867902699,0.4501321933075231,-0.49119271675219034,-0.1391262067769573,0.20840376193475185,0.19406148958374225,-0.723020865144145,0.10536091333938602,0.19602287807351293,-0.5820563125301068,-0.07193379103817488,-0.3499824444150317,0.14190084974456596,0.026196501160257624,-0.0694069309404971,0.5102959040713513,0.7646499151045183,-0.9443715305467216,-0.687016060875322,0.5209834131702542,-0.6310613193422219,-0.20982618691979715,-0.3933095335940876,0.04168278523743729,0.9702444898592966,-0.35746245047804126,-0.7683933369463508,0.6799429073685102,0.0020448309299698764,-0.4033044377754038,0.6636736172714393,-0.7280786661737071,-0.34927461051080533,-0.10387272379573376,0.7651507159971751,-0.7379261033145061,-0.7698370214006495,-0.6277987346532978,-0.5071722513523801,0.03940959936065758,0.6628010855749096,-0.9249310987678292,-0.6191271783127711,0.753830649305141]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END) || (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [0.71499579277067,0.4829557121141188,0.6124719762137676,-0.9545408725232942,-0.6541512153957387,-0.9915515730728935,-0.052206200351673004,0.22808701934224263,0.2883020756716337,-0.5036168031403423,-0.12763236312305792,0.1408499721482468,0.5014668823691717,-0.8797402578643294,-0.7444613826350365,-0.6258174361002738,-0.7301365568444478,-0.7914710357738534,-0.6635788068148151,0.6848866060062351,0.7375140524536548,-0.10944592969078015,-0.23272364806237833,-0.07536610243752528,0.34315046603127075,0.4518122736487433,-0.6428715030137457,-0.8110620356934966,-0.4447110336318122,0.255628710386965,0.5465170600196527,0.30837584774809645,-0.13550072276841996,-0.3094010723448838,-0.31674427305515995,0.9862524852997032,0.9312046784578958,0.6048524204391981,-0.1812249918455069,-0.9070738026996983,0.6738029791655678,0.37300049443519656,-0.6880636449223354,0.3520533294634016,-0.9533003742462497,0.36029617321200536,0.7595310826561577,0.4128342337587907,-0.05983581258001991,-0.7497830538056294,0.3451952583492006,0.3174642886733863,0.4331722297287457,-0.5572428755565116,0.7709789984269511,-0.4183596532229382,0.7348727720608792,0.7317713166132114,0.2674184046222352,0.45832067532569654,0.11003810674599568,0.8483493267503819,-0.8995566958838577,-0.4612419699074355]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END) || (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [-0.9904160180790605,-0.27169033655059116,-0.6434871350915831,0.9342122770790227,-0.5896616148758498,0.5592339666692598,0.8016009063231753,-0.029939518811609167,-0.3718150387791044,0.89800564108968,0.32550631794550045,-0.036279033324896126,0.6480657024787169,-0.5102502022654668,0.45647630267011685,-0.10766569577151774,0.5529511174471728,-0.9821569971526136,-0.06030757432851708,0.4914905846188795,-0.13294714439296318,-0.4890157890576158,0.3571339420417059,0.5524284889053643,-0.6340025746271571,0.37455614916160274,0.4847288012024882,-0.8800587932333332,-0.03793984004895279,0.23732837324193334,-0.7161552353511798,0.8841068634169638,0.12540373024702545,0.46927132574171715,0.6444437214823107,-0.5602430645142271,0.1869143348768314,0.7437455474685224,-0.5861907156563322,0.150988732793373,0.4968082442699224,0.7049702902745483,-0.6793721631117333,-0.8339178965810211,-0.14785222206545412,-0.5678623189547203,0.3760934553337909,-0.5538293318682714,0.1386811402980963,0.7819333677246931,-0.5935848932183557,-0.5277954305815077,-0.7503433358121164,-0.16456266151562682,0.29385853463829004,-0.35374921312605245,-0.6737375139313713,0.9860270876696147,-0.9833541246871533,-0.29436094168749805,-0.784825731089976,-0.5061760981252306,-0.9689096451652142,-0.4154331370158646]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END) || (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [-0.13848159312732655,-0.779121547324901,0.7930228527625514,-0.4725961837603516,0.5607177517142952,-0.2249633531947971,0.7544706283907807,-0.33999414234368275,0.04606961532989118,-0.5470031404096052,-0.8348981336479115,-0.5909310872612246,-0.8798715291962345,0.680232916195614,0.8706625096895224,0.1301927199149837,0.34040122949658835,0.3592174459818609,0.11490329782004571,0.612206136019521,-0.16295554423403769,-0.19535461604616522,0.32874966327944466,0.06212145106704603,0.8956866657633082,0.8064759468855223,0.8589024651690689,-0.6347464597301233,0.2284163194881086,-0.21631532810699672,-0.6922168285709713,-0.1827945386696017,0.4870565166434091,-0.8970070672011653,0.07558878986820483,-0.5442096201139492,-0.41055737739404696,0.4366968295953435,-0.4289699697132713,0.4586043000076536,-0.6626884935959549,0.8781305935064292,0.18492100048317983,-0.6452284034559427,-0.4393638692933346,0.7827320055457938,0.21452262635970087,-0.48420983380000815,0.8240032853262031,0.5712521940998938,0.021611066230956988,0.29956952747767773,0.7418577635646548,0.24215175154075963,0.7555879731667063,-0.8816364158283085,-0.5630349730177151,0.9512052445640109,0.12202086134704104,-0.40340848140996166,0.30543019027977203,-0.44973334124074205,0.5321617663209794,0.23877975998705026]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END) || (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [-0.3628667919305868,0.5409847027175494,-0.5471538095544684,0.5318662205122935,-0.45613153740856005,-0.04864960437784971,-0.48939574651068596,0.4720250528543055,-0.4743791221845689,-0.37728929272804035,-0.1469981617258762,0.6901022108390138,-0.06801808585892921,-0.20595419768370637,0.19543690818536685,-0.008540550367941435,0.8671300895637035,0.68735307346239,-0.92896654854963,-0.04669296207786311,-0.7231084756700936,0.3794167172805112,-0.3493190372805285,-0.06945819691111921,0.07696652162357709,0.5803068632685864,-0.5671923530572096,-0.9011972378000269,-0.3817075850485585,-0.4634129853044432,0.6283366403753239,0.2034588876624408,0.29207283362694536,0.8167026758346936,-0.9044732707378873,-0.22872135351897782,-0.16036489575193136,-0.2547446082530418,-0.08620330045297142,0.8867191695469248,0.8949497892390654,0.1305329264730144,0.4276503675852743,-0.837020991699487,-0.7449948002681903,-0.3095816422059602,0.021706557679391558,0.933432834852955,0.7242970519148217,-0.234319545246373,0.6719707423790915,0.5320337118268577,-0.4633063936998185,0.15974036723677654,-0.7752016800587082,-0.05838055076109061,-0.5327191217487246,0.8187156087956915,0.3637828505529306,-0.15119721477812176,0.3417529231516727,-0.28562704851931564,-0.5643643588422969,0.83375513871274]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END) || (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [0.3780163691448488,-0.3130720958564889,0.7542363157815635,0.6696307682589682,-0.4016440099578059,-0.5228339843850525,0.3098742691617,0.2026370131553541,-0.9769792068019104,-0.9128980133127689,-0.5870167315680966,-0.1970006842164762,-0.727724366194503,-0.9905157301033229,0.2946987479348555,0.5662014554265831,-0.42717430458208416,-0.8772633998693086,0.6650983445317382,-0.25565987833369697,0.44219729806814434,0.3969182875308286,-0.21256588078597283,0.4933357485889942,-0.2542064020141983,-0.3109806453263505,0.5069069374661688,0.34803932665906445,-0.8815942239955478,-0.30843073379285935,0.8741131961859292,0.5330733157295287,-0.16547473545823388,0.6452672250186158,0.4492974766094662,-0.6780527015808324,0.760341696080115,0.7321236940587357,0.07293136199930639,0.059418729980442286,0.051511535789540375,-0.42434109230986206,-0.17319071407227726,-0.6147747856679697,0.38393134730626133,-0.2757186212020064,0.7222337636292546,0.9939198705455223,0.5512160780811486,0.9779346001227849,-0.06370830024773977,0.37203655403368674,-0.5070758881503126,0.19124841442022888,0.37091174766047885,-0.587045467268688,-0.846700931243403,-0.7390862878104376,0.17125041445649725,0.33455486012641455,-0.38016493779874494,0.17377448070081702,-0.5579404366526644,0.43844395007233494]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END) AS bucket
-                FROM embeddings
-            ), q AS (
-                SELECT vec_id AS query_id, v AS qvec, nrm AS qnrm, bucket FROM c WHERE vec_id < 3
-            ), scored AS (
-                SELECT q.query_id, c.vec_id,
-                       round(list_dot_product(c.v, q.qvec) / (c.nrm * q.qnrm), 4) AS cosine
-                FROM c JOIN q USING (bucket)
-                WHERE c.nrm > 0 AND q.qnrm > 0
-            )
-            SELECT query_id, vec_id, cosine, rank FROM (
-                SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-                FROM scored
-            ) WHERE rank <= 10
-        """,
+        "ann_lsh": _ann_lsh_sql(),
         "ann_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3

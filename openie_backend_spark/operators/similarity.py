@@ -97,6 +97,16 @@ def lsh_bucket(vec_col, planes) -> "F.Column":
     return F.concat_ws("", *bits)
 
 
+def _flip_bit(bucket_col, i: int, n: int):
+    """The bucket bit-string with bit ``i`` (0-based) flipped."""
+    return F.concat(
+        F.substring(bucket_col, 1, i),
+        F.when(F.substring(bucket_col, i + 1, 1) == "1", F.lit("0"))
+        .otherwise(F.lit("1")),
+        F.substring(bucket_col, i + 2, n - i - 1),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,9 +117,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucketing, exact rerank
-    within the query's bucket."""
+    within the probed buckets. ``multiprobe=True`` (default) probes
+    the query's own bucket PLUS every Hamming-distance-1 bucket
+    (n_planes+1 probes — the standard multi-probe LSH recipe): a
+    near neighbor on the wrong side of ONE hyperplane is still found,
+    which roughly doubles recall on near-orthogonal corpora for a
+    (n_planes+1)× bounded increase in candidates (measured in
+    BENCH/ANN.md). The corpus side keeps exactly one bucket per
+    vector, so the probe explode happens only on the (small,
+    broadcast) query side and each corpus vector matches a query at
+    most once."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -121,6 +141,12 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("qvec"),
     ).withColumn("bucket", lsh_bucket(F.col("qvec"), planes)) \
      .withColumn("qnrm", _norm(F.col("qvec"))).filter(F.col("qnrm") > 0)
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[_flip_bit(F.col("bucket"), i, n_planes) for i in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine",
         F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm")), 4),
