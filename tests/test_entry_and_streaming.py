@@ -213,3 +213,22 @@ def test_cli_extract_roundtrips_through_tab_reader(spark, tmp_path):
     assert (acme["rel_start"], acme["rel_end"]) == (2, 3)
     assert acme["url"] == "http://t.test/1"
     assert len(acme["tokens"]) == len(acme["pos_tags"]) == len(acme["chunk_tags"])
+
+
+def test_py_files_zip_is_self_contained():
+    """The --py-files package must carry everything executors need:
+    code AND the trained model artifacts (scripts/submit_pipeline.py;
+    the north-rule deployment shape is spark-submit --py-files)."""
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from submit_pipeline import build_zip
+
+    path = build_zip("/tmp/openie_pkg_test.zip")
+    names = zipfile.ZipFile(path).namelist()
+    assert "openie_backend_spark/__init__.py" in names
+    assert "openie_backend_spark/nlp/tagger_model.json.gz" in names
+    assert "openie_backend_spark/nlp/chunker_model.json.gz" in names
+    assert any(n.endswith("plans/pipeline.py") for n in names)
+    assert not any("__pycache__" in n for n in names)
