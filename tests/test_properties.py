@@ -108,3 +108,32 @@ def test_html_strip_steps_idempotent_and_tagfree(raw):
     assert "<style" not in strip(once).lower()
     # whitespace is fully collapsed
     assert "  " not in once and "\n" not in once and "\t" not in once
+
+
+@given(st.text(alphabet="0123456789[]{}(), abcde.-", max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_interval_parse_cross_engine(text):
+    """The three interval parsers (fixtures.parse_interval in Python,
+    sources/tab._interval_bounds in Spark SQL, __spark_entry__._tab_iv_sql
+    in DuckDB) must agree. Fuzzes Python vs DuckDB on arbitrary
+    strings: same (start, end) for valid non-inverted intervals, both
+    rejecting otherwise (inverted spans and non-1-or-2-digit-run
+    shapes)."""
+    import duckdb
+
+    from __spark_entry__ import _tab_iv_sql
+    from openie_backend_spark.sources.fixtures import parse_interval
+
+    try:
+        py = parse_interval(text)
+        if py[1] <= py[0]:
+            py = None
+    except ValueError:
+        py = None
+
+    lit = "'" + text.replace("'", "''") + "'"
+    s, e = duckdb.sql(
+        "SELECT " + _tab_iv_sql(lit, "s") + ", " + _tab_iv_sql(lit, "e")
+    ).fetchone()
+    duck = (s, e) if s is not None and e is not None and e > s else None
+    assert py == duck, f"{text!r}: python {py} vs duckdb {duck}"
