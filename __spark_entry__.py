@@ -280,6 +280,18 @@ def _dedup_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), bits=16)
 
 
+def _dedup_simhash_banded(spark, sf):
+    """Hamming-tolerant SimHash pairs: 4 bands of 4 bits, pigeonhole
+    candidates, exact-Hamming rerank <= 1 (dedup.simhash_banded_pairs; the
+    synth corpus's tiny vocabulary saturates 16-bit simhash, so the
+    demo threshold is 1 — production would use 64 bits, Hamming 3).
+    The oracle re-derives from exhaustive signature pairs — valid
+    because Hamming <= 3 over 4 bands ALWAYS shares a band, so the
+    banded candidate set provably loses nothing below `bands`."""
+    return D.simhash_banded_pairs(_t(spark, sf, "documents"), bits=16,
+                                  bands=4, max_hamming=1)
+
+
 def _dedup_embedding(spark, sf):
     # synthetic embeddings are near-orthogonal (max cosine ≈ 0.46), so
     # the demo threshold is 0.3; production near-dup would use ≥ 0.95
@@ -595,6 +607,21 @@ def _kg_edges(spark, sf):
     return edge_table(spo_table(linked)).select(
         "subject_id", F.concat_ws(",", "dst_ids").alias("dst_csv"), "out_degree"
     )
+
+def _kg_two_hop(spark, sf):
+    """Two-hop neighborhood rollup on the materialized edge table
+    (operators/materialize.two_hop): per source node, how many
+    distinct nodes its neighbors connect to."""
+    from openie_backend_spark.operators.materialize import edge_table, two_hop
+
+    linked, _ = _synth_linked(spark)
+    pairs = two_hop(edge_table(spo_table(linked)))
+    return pairs.groupBy(F.col("src").alias("subject_id")).agg(
+        F.count(F.lit(1)).alias("n_hop2"),
+        F.min("hop2").alias("min_hop2"),
+        F.max("hop2").alias("max_hop2"),
+    )
+
 
 _TAB_FIXTURE = "/tmp/openie_tab_fixture_v1.tab"
 def _tab_iv_sql(col: str, which: str) -> str:
@@ -922,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_banded": _dedup_simhash_banded,
         "dedup_embedding": _dedup_embedding,
         "ann_bruteforce": _ann_bruteforce,
         "ann_lsh": _ann_lsh,
@@ -945,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_notable_rels": _kg_notable_rels,
         "kg_answer_projections": _kg_answer_projections,
         "kg_edges": _kg_edges,
+        "kg_two_hop": _kg_two_hop,
         "kg_nary": _kg_nary,
         "mm_features": _mm_features,
         "src_tab_extractions": _src_tab_extractions,
@@ -1302,6 +1331,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST("
             + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
             + " AS BIGINT) AS simhash FROM v"
+        ),
+        "dedup_simhash_banded": (
+            "WITH sig AS (" + (
+            "WITH w AS ("
+            f"  SELECT doc_id, md5(t.x) AS h FROM documents, unnest(list_distinct({wsplit})) AS t(x)"
+            "), v AS ("
+            "  SELECT doc_id, "
+            + ", ".join(
+                f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
+                f"THEN 1 ELSE -1 END) AS v{i}"
+                for i in range(16)
+            )
+            + "  FROM w GROUP BY doc_id)"
+            "SELECT doc_id, CAST("
+            + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
+            + " AS BIGINT) AS simhash FROM v"
+            ) + """)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        """
         ),
         "dedup_embedding": _embedding_neardup_sql(threshold=0.3),
         "ann_lsh": _ann_lsh_sql(),

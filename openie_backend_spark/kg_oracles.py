@@ -519,6 +519,21 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS out_degree
             FROM spo GROUP BY 1
         """,
+        "kg_two_hop": f"""
+            {_linked_sql(ext_synth, dims)},
+            spo AS (
+                SELECT coalesce(arg1_fbid, {node1}) AS sid,
+                       coalesce(arg2_fbid, {node2}) AS oid
+                FROM linked
+            ),
+            h AS (
+                SELECT DISTINCT a.sid AS src, b.oid AS hop2
+                FROM spo a JOIN spo b ON b.sid = a.oid
+            )
+            SELECT src AS subject_id, CAST(count(*) AS BIGINT) AS n_hop2,
+                   min(hop2) AS min_hop2, max(hop2) AS max_hop2
+            FROM h GROUP BY 1
+        """,
         "kg_instance_dedup": f"""
             SELECT url, arg1_norm, rel_norm, arg2_norm, confidence
             FROM read_parquet('{p["inst_dedup"]}')

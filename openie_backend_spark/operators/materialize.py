@@ -142,3 +142,18 @@ def lookup_subject(
     return df.filter(
         (F.col("_bucket") == bucket) & (F.col("subject_id") == subject_id)
     )
+
+
+def two_hop(edges: DataFrame) -> DataFrame:
+    """Exactly-two-edge reachability over the adjacency list (serving
+    feature on the KG: "what does X's neighborhood connect to"):
+    src → mid → hop2, distinct (src, hop2) pairs. Two equality joins
+    on the subject key — no cartesian; at cluster scale both sides
+    carry the edge table's hash partitioning so the join co-locates."""
+    hop1 = edges.select(
+        F.col("subject_id").alias("src"), F.explode("dst_ids").alias("mid")
+    )
+    hop2 = edges.select(
+        F.col("subject_id").alias("mid"), F.explode("dst_ids").alias("hop2")
+    )
+    return hop1.join(hop2, "mid").select("src", "hop2").distinct()
