@@ -1039,7 +1039,7 @@ _MINHASH_PAIRS_SQL = f"""
 """
 
 
-def _embedding_neardup_sql(threshold: float, n_planes: int = 16, bands: int = 2) -> str:
+def _embedding_neardup_sql(threshold: float, n_planes: int = 32, bands: int = 4) -> str:
     """Mirror of operators/dedup.embedding_neardup_pairs: the same
     seeded hyperplanes (similarity._hyperplanes), banded sign blocking,
     exact cosine on candidates."""
