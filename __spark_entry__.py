@@ -627,17 +627,22 @@ _TAB_FIXTURE = "/tmp/openie_tab_fixture_v1.tab"
 def _tab_iv_sql(col: str, which: str) -> str:
     """DuckDB expression for one bound of a serialized interval,
     mirroring ``intervalFromString`` (ReVerbExtraction.scala:180-196)
-    and sources/tab._interval_bounds: two numbers -> open unless the
-    literal ends with ']' or '}' (then end+1); one number ->
-    singleton [n, n+1); else NULL."""
-    nums = rf"regexp_extract_all({col}, '\d+')"
+    and sources/tab._interval_bounds: the TRIMMED literal's digit
+    runs — two -> open unless it ends with ']' or '}' (then end+1);
+    one -> singleton [n, n+1); zero/3+ runs or any 10+-digit run ->
+    NULL (cross-engine overflow guard, see _interval_bounds)."""
+    t = f"trim({col})"
+    nums = rf"regexp_extract_all({t}, '\d+')"
     n = f"len({nums})"
+    guard = rf"NOT regexp_matches({t}, '\d{{10}}')"
     if which == "s":
-        return (f"CAST(CASE WHEN {n} IN (1, 2) "
+        return (f"CAST(CASE WHEN {guard} AND {n} IN (1, 2) "
                 f"THEN CAST({nums}[1] AS INTEGER) END AS INTEGER)")
-    bump = f"(CASE WHEN {col} LIKE '%)' THEN 0 ELSE 1 END)"
-    return (f"CAST(CASE WHEN {n} = 2 THEN CAST({nums}[2] AS INTEGER) + {bump} "
-            f"WHEN {n} = 1 THEN CAST({nums}[1] AS INTEGER) + 1 END AS INTEGER)")
+    bump = f"(CASE WHEN {t} LIKE '%)' THEN 0 ELSE 1 END)"
+    return (f"CAST(CASE WHEN {guard} AND {n} = 2 "
+            f"THEN CAST({nums}[2] AS INTEGER) + {bump} "
+            f"WHEN {guard} AND {n} = 1 "
+            f"THEN CAST({nums}[1] AS INTEGER) + 1 END AS INTEGER)")
 
 
 def _ensure_tab_fixture() -> str:
@@ -1138,6 +1143,23 @@ def oracle_sql() -> dict[str, str]:
     stop_es = "('el','la','los','y','es','un','una','para','en','que')"
     wsplit = f"regexp_split_to_array(trim(lower(text)), {_WS})"
 
+    simhash_select = (
+            "WITH w AS ("
+            f"  SELECT doc_id, md5(t.x) AS h FROM documents, unnest(list_distinct({wsplit})) AS t(x)"
+            "), v AS ("
+            "  SELECT doc_id, "
+            + ", ".join(
+                f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
+                f"THEN 1 ELSE -1 END) AS v{i}"
+                for i in range(16)
+            )
+            + "  FROM w GROUP BY doc_id)"
+            "SELECT doc_id, CAST("
+            + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
+            + " AS BIGINT) AS simhash FROM v"
+    )
+
+
     return kg | {
         "g1_group_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,
@@ -1317,37 +1339,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, least(a, min(b)) AS cluster_id
             FROM reach GROUP BY a
         """,
-        "dedup_simhash": (
-            "WITH w AS ("
-            f"  SELECT doc_id, md5(t.x) AS h FROM documents, unnest(list_distinct({wsplit})) AS t(x)"
-            "), v AS ("
-            "  SELECT doc_id, "
-            + ", ".join(
-                f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
-                f"THEN 1 ELSE -1 END) AS v{i}"
-                for i in range(16)
-            )
-            + "  FROM w GROUP BY doc_id)"
-            "SELECT doc_id, CAST("
-            + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
-            + " AS BIGINT) AS simhash FROM v"
-        ),
+        "dedup_simhash": simhash_select,
         "dedup_simhash_banded": (
-            "WITH sig AS (" + (
-            "WITH w AS ("
-            f"  SELECT doc_id, md5(t.x) AS h FROM documents, unnest(list_distinct({wsplit})) AS t(x)"
-            "), v AS ("
-            "  SELECT doc_id, "
-            + ", ".join(
-                f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
-                f"THEN 1 ELSE -1 END) AS v{i}"
-                for i in range(16)
-            )
-            + "  FROM w GROUP BY doc_id)"
-            "SELECT doc_id, CAST("
-            + " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
-            + " AS BIGINT) AS simhash FROM v"
-            ) + """)
+            "WITH sig AS (" + simhash_select + """)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id

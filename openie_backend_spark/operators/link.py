@@ -211,11 +211,6 @@ def _link_side(
 
     best = (
         cands.withColumn("_score", score)
-        # acceptance floor: candidates below min_score never compete,
-        # so a group whose best candidate is sub-threshold gets NO
-        # link (NULL after the caller's left join) instead of a weak
-        # one. Default 0.0 keeps every candidate (scores are >= 0).
-        .filter(F.col("_score") >= F.lit(min_score))
         # longest matching suffix wins; among equals, best score
         .groupBy(*GROUP_KEY)
         .agg(
@@ -234,6 +229,12 @@ def _link_side(
                          F.col("fbid").alias("c")),
             ).alias("_best")
         )
+        # acceptance floor AFTER the argmax: the longest-suffix winner
+        # still blocks shorter suffixes; if THAT winner scores below
+        # min_score the group gets NO link (NULL after the caller's
+        # left join), never a different, lower-priority entity.
+        # Default 0.0 keeps every winner (scores are >= 0).
+        .filter(F.col("_best.score") >= F.lit(min_score))
         .select(
             *GROUP_KEY,
             F.struct(

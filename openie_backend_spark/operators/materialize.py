@@ -147,9 +147,11 @@ def lookup_subject(
 def two_hop(edges: DataFrame) -> DataFrame:
     """Exactly-two-edge reachability over the adjacency list (serving
     feature on the KG: "what does X's neighborhood connect to"):
-    src → mid → hop2, distinct (src, hop2) pairs. Two equality joins
-    on the subject key — no cartesian; at cluster scale both sides
-    carry the edge table's hash partitioning so the join co-locates."""
+    src → mid → hop2, distinct (src, hop2) pairs. One equality join
+    on the mid key — no cartesian; the hop2 side arrives partitioned
+    by its subject key while the exploded hop1 side is re-shuffled on
+    mid (one shuffle of the edge list, the unavoidable one: two-hop
+    IS a self-join of the edge relation)."""
     hop1 = edges.select(
         F.col("subject_id").alias("src"), F.explode("dst_ids").alias("mid")
     )

@@ -43,6 +43,8 @@ def parse_interval(text: str) -> tuple[int, int]:
     (``ReVerbExtraction.scala:180-196``): ``[a, b)`` open, ``[a, b]``
     closed end-inclusive, ``{n}`` singleton."""
     text = text.strip()
+    if re.search(r"\d{10}", text):
+        raise ValueError(f"oversized number in interval: {text!r}")
     nums = _NUM_RE.findall(text)
     if len(nums) == 2:
         start, end = int(nums[0]), int(nums[1])

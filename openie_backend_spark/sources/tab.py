@@ -26,12 +26,19 @@ def _interval_bounds(col):
     ``Interval.open/closed`` throw in the reference and fail the
     line) is dropped by the reader's filter below.
     """
-    nums = F.regexp_extract_all(col, F.lit(r"\d+"), 0)
+    # trim first (all three engines agree on the trimmed literal) and
+    # reject 10+-digit runs outright: a token index cannot need them,
+    # and int-overflow behavior would otherwise differ per engine
+    t = F.trim(col)
+    ok = ~t.rlike(r"\d{10}")
+    nums = F.regexp_extract_all(t, F.lit(r"\d+"), 0)
     n = F.size(nums)
-    start = F.when((n == 1) | (n == 2), F.element_at(nums, 1).try_cast("int"))
-    closed_bump = F.when(col.endswith(")"), F.lit(0)).otherwise(F.lit(1))
-    end = F.when(n == 2, F.element_at(nums, 2).try_cast("int") + closed_bump).when(
-        n == 1, F.element_at(nums, 1).try_cast("int") + 1
+    start = F.when(ok & ((n == 1) | (n == 2)),
+                   F.element_at(nums, 1).try_cast("int"))
+    closed_bump = F.when(t.endswith(")"), F.lit(0)).otherwise(F.lit(1))
+    end = F.when(ok & (n == 2),
+                 F.element_at(nums, 2).try_cast("int") + closed_bump).when(
+        ok & (n == 1), F.element_at(nums, 1).try_cast("int") + 1
     )
     return start, end
 

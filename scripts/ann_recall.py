@@ -1,4 +1,4 @@
-"""ANN quality evidence: recall@k of the LSH-bucketed top-k
+"""ANN quality evidence: self-excluded recall@k of the LSH-bucketed top-k
 (`similarity.lsh_topk`) against the exact brute-force baseline
 (`similarity.brute_force_topk`) on the embeddings table, across
 hyperplane counts — plus the candidate fraction (mean bucket share of
@@ -39,17 +39,23 @@ def main() -> None:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
 
-    exact = S.brute_force_topk(emb, queries, k=k).collect()
+    # fetch k+1 and drop the query's own vector from both sides:
+    # queries come from the corpus, so the self-match (cosine 1.0)
+    # would otherwise inflate recall by up to 1/k
+    exact = S.brute_force_topk(emb, queries, k=k + 1).collect()
     gold: dict = {}
     for r in exact:
-        gold.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["vec_id"] != r["query_id"]:
+            gold.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # after dropping the self row (always rank 1) exactly k remain
 
     rows = []
     for n_planes in (4, 6, 8):
-        approx = S.lsh_topk(emb, queries, k=k, n_planes=n_planes, dim=dim)
+        approx = S.lsh_topk(emb, queries, k=k + 1, n_planes=n_planes, dim=dim)
         got: dict = {}
         for r in approx.collect():
-            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            if r["vec_id"] != r["query_id"]:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
         hits = sum(len(gold[q] & got.get(q, set())) for q in gold)
         recall = hits / sum(len(v) for v in gold.values())
         # candidate fraction: mean share of the corpus scanned per

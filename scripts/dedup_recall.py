@@ -67,7 +67,7 @@ def main() -> None:
         WITH s AS (
             SELECT doc_id, list_sort(list_distinct(list_transform(
                 range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
-                i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i:i+3], ' ')
+                i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i:i+2], ' ')
             ))) AS sh FROM read_parquet('{docs_path}')
         )
         SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -1,5 +1,5 @@
 """Embedding near-dup quality: recall of the banded-hyperplane
-candidate pass (`dedup.embedding_neardup_pairs`, 16 planes / 2 bands)
+candidate pass (`dedup.embedding_neardup_pairs`, 32 planes / 4 bands)
 against exact-cosine ground truth, per cosine bin. Planted pairs:
 each source vector gets deterministic-noise variants spanning cosine
 ~0.5-0.99, so every bin has mass (the test embeddings themselves are

@@ -59,7 +59,7 @@ def main() -> None:
                      "table_groups": n_groups})
         print(json.dumps(rows[-1]), flush=True)
 
-    first = rows[1]["merge_sec"]  # batch 0 pays warmup
+    first = rows[min(1, len(rows) - 1)]["merge_sec"]  # batch 0 pays warmup
     last = rows[-1]["merge_sec"]
     out = os.path.join(REPO, "BENCH", "STREAMING.md")
     with open(out, "a") as fh:

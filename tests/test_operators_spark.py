@@ -428,3 +428,43 @@ def test_link_min_score_floor(spark, pipeline_tables):
     # an impossible floor converts every link to a no-link, never drops rows
     assert floored.filter(F.col("arg1_entity").isNotNull()).count() == 0
     assert floored.count() == base.count()
+
+
+def test_link_min_score_rejects_after_argmax(spark):
+    """The floor must apply AFTER the longest-suffix argmax: when the
+    longest-suffix winner scores below min_score the group gets NO
+    link — never the shorter-suffix runner-up (filter-before-argmax
+    would silently link a different entity)."""
+    from pyspark.sql import Row
+
+    groups = spark.createDataFrame([Row(
+        arg1_norm="acme corp", rel_norm="won", arg2_norm="prizes",
+        arg1_head="acme corp", arg2_head="prizes", size=1,
+        instances=[Row(tokens=["acme", "corp", "won", "prizes"])],
+    )])
+    dims = {
+        "dim_anchor_prior": spark.createDataFrame(
+            [("acmecorp", "FullEnt", 0.9, 1000),
+             ("corp", "CorpEnt", 0.9, 1000)],
+            "anchor_lnrm string, entity_title string, cprob double, count long"),
+        "dim_title_fbid": spark.createDataFrame(
+            [("FullEnt", "fa"), ("CorpEnt", "fb")], "title string, fbid string"),
+        "dim_fbid_title_inlinks": spark.createDataFrame(
+            [("fa", "FullEnt", 100), ("fb", "CorpEnt", 100)],
+            "fbid string, title string, inlinks long"),
+        "dim_fbid_types": spark.createDataFrame(
+            [("fa", ["t"]), ("fb", ["t"])], "fbid string, types array<string>"),
+        # FullEnt's context never matches (score 0.0); CorpEnt's fully
+        # matches (score >> 0) — the shorter-suffix runner-up
+        "dim_context_terms": spark.createDataFrame(
+            [("fa", "nomatch", 1.0), ("fb", "corp", 1.0), ("fb", "won", 1.0)],
+            "fbid string, term string, weight double"),
+    }
+    from openie_backend_spark.operators.link import link_groups
+
+    floor = link_groups(groups, dims, min_score=0.05).first()
+    assert floor["arg1_entity"] is None, (
+        f"sub-threshold longest-suffix winner must be a no-link, got "
+        f"{floor['arg1_entity']}")
+    free = link_groups(groups, dims, min_score=0.0).first()
+    assert free["arg1_entity"]["name"] == "FullEnt"  # longest suffix wins

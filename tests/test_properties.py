@@ -111,7 +111,7 @@ def test_html_strip_steps_idempotent_and_tagfree(raw):
 
 
 @given(st.text(alphabet="0123456789[]{}(), abcde.-", max_size=24))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=1500, deadline=None)
 def test_interval_parse_cross_engine(text):
     """The three interval parsers (fixtures.parse_interval in Python,
     sources/tab._interval_bounds in Spark SQL, __spark_entry__._tab_iv_sql
