@@ -876,6 +876,7 @@ def _s5_pipeline_resume_oracle_sql() -> str:
         UNION ALL SELECT 'groups', (SELECT count(*) FROM grp), TRUE
         UNION ALL SELECT 'groups_filtered', (SELECT count(*) FROM grp), TRUE
         UNION ALL SELECT 'spo', (SELECT count(*) FROM grp), TRUE
+        UNION ALL SELECT 'ops', (SELECT count(*) FROM grp), TRUE
         UNION ALL SELECT 'edges', (SELECT count(DISTINCT sid) FROM spo), TRUE
         UNION ALL SELECT 'nodes',
                (SELECT count(*) FROM

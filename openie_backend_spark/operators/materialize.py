@@ -144,6 +144,18 @@ def lookup_subject(
     )
 
 
+def lookup_object(
+    spark, ops_dir: str, object_id: str, n_buckets: int = 16
+) -> DataFrame:
+    """Object-side point lookup on the OPS table (below) — the reverse
+    index. Same constant-folded bucket pruning as ``lookup_subject``."""
+    df = spark.read.parquet(ops_dir)
+    bucket = F.pmod(F.hash(F.lit(object_id)), F.lit(n_buckets))
+    return df.filter(
+        (F.col("_bucket") == bucket) & (F.col("object_id") == object_id)
+    )
+
+
 def two_hop(edges: DataFrame) -> DataFrame:
     """Exactly-two-edge reachability over the adjacency list (serving
     feature on the KG: "what does X's neighborhood connect to"):

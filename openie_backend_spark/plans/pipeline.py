@@ -155,12 +155,23 @@ class Pipeline:
             lambda: materialize.spo_table(linked),
             buckets=(16, "subject_id"),
         )
+        # reverse index: the same triples bucketed by OBJECT, so
+        # object-side point lookups prune like subject-side ones (the
+        # reference's Lucene index serves arg1 and arg2 queries alike,
+        # ExtractionGroupFetcher arg2 fields; columnar stores pay 2x
+        # storage for the second sort order instead)
+        ops = self.stage(
+            "ops",
+            lambda: spo.drop("_bucket"),
+            buckets=(16, "object_id"),
+        )
         edges = self.stage("edges", lambda: materialize.edge_table(spo))
         nodes = self.stage("nodes", lambda: materialize.node_table(spo))
         return {
             "extractions": extractions,
             "groups": linked,
             "spo": spo,
+            "ops": ops,
             "edges": edges,
             "nodes": nodes,
         }

@@ -468,3 +468,23 @@ def test_link_min_score_rejects_after_argmax(spark):
         f"{floor['arg1_entity']}")
     free = link_groups(groups, dims, min_score=0.0).first()
     assert free["arg1_entity"]["name"] == "FullEnt"  # longest suffix wins
+
+
+def test_lookup_object_prunes_partitions(spark, tmp_path):
+    from openie_backend_spark.operators.materialize import lookup_object
+
+    ops = spark.createDataFrame(
+        [(f"n:{i:04d}", f"subj {i}", "acquired", f"o:{i:04d}", f"obj {i}", 1)
+         for i in range(64)],
+        "subject_id string, subject string, predicate string, "
+        "object_id string, object string, group_size long",
+    ).withColumn("_bucket", F.pmod(F.hash(F.col("object_id")), F.lit(16)))
+    out = str(tmp_path / "ops")
+    ops.write.partitionBy("_bucket").parquet(out)
+
+    hit = lookup_object(spark, out, "o:0007", n_buckets=16)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["subject"] == "subj 7"
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
