@@ -623,6 +623,42 @@ def _kg_two_hop(spark, sf):
     )
 
 
+def _s4_point_lookup(spark, sf):
+    """S4: bucketed point reads on BOTH sort orders — materialize the
+    synth SPO + OPS tables, look up one subject and one object through
+    the partition-pruned paths (materialize.lookup_subject/_object),
+    return the union. The oracle re-derives both rows from the
+    grouping chain; pruning itself is plan-asserted in pytest and
+    measured in BENCH/SERVING.md."""
+    import shutil
+
+    from openie_backend_spark import mirror
+    from openie_backend_spark.operators.materialize import (
+        lookup_object, lookup_subject,
+    )
+
+    linked, _ = _synth_linked(spark)
+    spo = spo_table(linked)
+    work = f"/tmp/openie_pointread_oracle_{mirror.source_version()}"
+    shutil.rmtree(work, ignore_errors=True)
+    n_buckets = 16
+    spo_dir, ops_dir = f"{work}/spo", f"{work}/ops"
+    spo.withColumn("_bucket", F.pmod(F.hash("subject_id"), F.lit(n_buckets)))        .write.partitionBy("_bucket").parquet(spo_dir)
+    spo.withColumn("_bucket", F.pmod(F.hash("object_id"), F.lit(n_buckets)))        .write.partitionBy("_bucket").parquet(ops_dir)
+    # deterministic ids: the linked 'acme corp' subject appears in the
+    # synth corpus by construction; derive ids from the norms
+    sid = spo.filter(F.col("subject") == "acme corp")              .select("subject_id").first()["subject_id"]
+    oid = spo.filter(F.col("object") == "acme corp")              .select("object_id").first()["object_id"]
+    hit_s = lookup_subject(spark, spo_dir, sid, n_buckets).withColumn(
+        "side", F.lit("subject"))
+    hit_o = lookup_object(spark, ops_dir, oid, n_buckets).withColumn(
+        "side", F.lit("object"))
+    return hit_s.unionByName(hit_o).select(
+        "side", "subject", "predicate", "object",
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
 _TAB_FIXTURE = "/tmp/openie_tab_fixture_v1.tab"
 def _tab_iv_sql(col: str, which: str) -> str:
     """DuckDB expression for one bound of a serialized interval,
@@ -988,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_salted_join": _j2_salted_join,
         "stream_incremental_merge": _stream_incremental_merge,
         "s5_pipeline_resume": _s5_pipeline_resume,
+        "s4_point_lookup": _s4_point_lookup,
         "src_tab_sentences": _src_tab_sentences,
     }
 

@@ -534,6 +534,25 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    min(hop2) AS min_hop2, max(hop2) AS max_hop2
             FROM h GROUP BY 1
         """,
+        "s4_point_lookup": f"""
+            {_linked_sql(ext_synth, dims)},
+            spo AS (
+                SELECT coalesce(arg1_fbid, {node1}) AS sid, arg1_norm,
+                       rel_norm, arg2_norm, size,
+                       coalesce(arg2_fbid, {node2}) AS oid
+                FROM linked
+            )
+            SELECT 'subject' AS side, arg1_norm AS subject,
+                   rel_norm AS predicate, arg2_norm AS object,
+                   CAST(size AS BIGINT) AS group_size
+            FROM spo WHERE sid = (SELECT min(sid) FROM spo
+                                  WHERE arg1_norm = 'acme corp')
+            UNION ALL
+            SELECT 'object', arg1_norm, rel_norm, arg2_norm,
+                   CAST(size AS BIGINT)
+            FROM spo WHERE oid = (SELECT min(oid) FROM spo
+                                  WHERE arg2_norm = 'acme corp')
+        """,
         "kg_instance_dedup": f"""
             SELECT url, arg1_norm, rel_norm, arg2_norm, confidence
             FROM read_parquet('{p["inst_dedup"]}')

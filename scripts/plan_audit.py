@@ -132,6 +132,30 @@ def main():
         ("no cartesian join", r"CartesianProduct", False),
     ])
 
+    # 10. Banded SimHash (round 4): candidates via band equality join —
+    # no cartesian signature scan, no Python
+    audit("dedup_simhash_banded", qs["dedup_simhash_banded"](spark, sf_dir), [
+        ("no cartesian signature scan", r"CartesianProduct", False),
+        ("band equality join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no Python in the signature path",
+         r"BatchEvalPython|ArrowEvalPython", False),
+    ])
+
+    # 11. Two-hop reachability (round 4): a self-join of the edge
+    # relation on the mid key — equality join, no cartesian
+    audit("kg_two_hop", qs["kg_two_hop"](spark, sf_dir), [
+        ("equality join on mid", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct", False),
+    ])
+
+    # 12. Multi-probe ANN (round 4): probe explode on the broadcast
+    # query side only; bucket join stays an equality join
+    audit("ann_lsh", qs["ann_lsh"](spark, sf_dir), [
+        ("bucket equality join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct", False),
+        ("probe explode present (multi-probe)", r"explode\(array\(bucket", True),
+    ])
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:
