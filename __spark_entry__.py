@@ -629,26 +629,53 @@ def _s4_point_lookup(spark, sf):
     the partition-pruned paths (materialize.lookup_subject/_object),
     return the union. The oracle re-derives both rows from the
     grouping chain; pruning itself is plan-asserted in pytest and
-    measured in BENCH/SERVING.md."""
+    measured in BENCH/SERVING.md. The KG chain runs ONCE (the spo
+    parquet is written, then reread for ids and the ops copy), and the
+    workdir is staged pid-suffixed + atomically renamed so concurrent
+    harness runs never read a half-deleted table."""
     import shutil
 
     from openie_backend_spark import mirror
     from openie_backend_spark.operators.materialize import (
-        lookup_object, lookup_subject,
+        bucket_expr, lookup_object, lookup_subject,
     )
 
+    import hashlib
+
     linked, _ = _synth_linked(spark)
-    spo = spo_table(linked)
-    work = f"/tmp/openie_pointread_oracle_{mirror.source_version()}"
-    shutil.rmtree(work, ignore_errors=True)
+    # mirror.source_version covers nlp+extract; the cached spo also
+    # depends on the downstream chain, so fold those sources in too
+    pkg = os.path.dirname(os.path.abspath(mirror.__file__))
+    h = hashlib.md5(mirror.source_version().encode())
+    for rel in ("operators/link.py", "operators/group.py",
+                "operators/filters.py", "operators/materialize.py"):
+        with open(os.path.join(pkg, rel), "rb") as fh:
+            h.update(fh.read())
+    work = f"/tmp/openie_pointread_oracle_{h.hexdigest()[:12]}"
     n_buckets = 16
     spo_dir, ops_dir = f"{work}/spo", f"{work}/ops"
-    spo.withColumn("_bucket", F.pmod(F.hash("subject_id"), F.lit(n_buckets)))        .write.partitionBy("_bucket").parquet(spo_dir)
-    spo.withColumn("_bucket", F.pmod(F.hash("object_id"), F.lit(n_buckets)))        .write.partitionBy("_bucket").parquet(ops_dir)
-    # deterministic ids: the linked 'acme corp' subject appears in the
-    # synth corpus by construction; derive ids from the norms
-    sid = spo.filter(F.col("subject") == "acme corp")              .select("subject_id").first()["subject_id"]
-    oid = spo.filter(F.col("object") == "acme corp")              .select("object_id").first()["object_id"]
+    if not os.path.isdir(work):
+        tmp = f"{work}.tmp.{os.getpid()}"
+        spo = spo_table(linked)
+        spo.withColumn("_bucket", bucket_expr(F.col("subject_id"), n_buckets)) \
+           .write.mode("overwrite").partitionBy("_bucket") \
+           .parquet(f"{tmp}/spo")
+        # reread the materialized table: no second run of the KG chain
+        spark.read.parquet(f"{tmp}/spo").drop("_bucket") \
+            .withColumn("_bucket", bucket_expr(F.col("object_id"), n_buckets)) \
+            .write.mode("overwrite").partitionBy("_bucket") \
+            .parquet(f"{tmp}/ops")
+        try:
+            os.rename(tmp, work)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    spo_read = spark.read.parquet(spo_dir)
+    # min() mirrors the oracle exactly (first() would be
+    # partition-order-dependent if the norm ever maps to several ids)
+    sid = spo_read.filter(F.col("subject") == "acme corp") \
+                  .agg(F.min("subject_id")).first()[0]
+    oid = spo_read.filter(F.col("object") == "acme corp") \
+                  .agg(F.min("object_id")).first()[0]
     hit_s = lookup_subject(spark, spo_dir, sid, n_buckets).withColumn(
         "side", F.lit("subject"))
     hit_o = lookup_object(spark, ops_dir, oid, n_buckets).withColumn(

@@ -126,6 +126,22 @@ def fracture(groups: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def bucket_expr(col, n_buckets: int):
+    """THE bucket function — writer (pipeline stage) and readers
+    (point lookups) must share it or pruning silently reads the wrong
+    directory."""
+    return F.pmod(F.hash(col), F.lit(n_buckets))
+
+
+def _point_lookup(spark, table_dir: str, key_col: str, key: str,
+                  n_buckets: int) -> DataFrame:
+    df = spark.read.parquet(table_dir)
+    return df.filter(
+        (F.col("_bucket") == bucket_expr(F.lit(key), n_buckets))
+        & (F.col(key_col) == key)
+    )
+
+
 def lookup_subject(
     spark, spo_dir: str, subject_id: str, n_buckets: int = 16
 ) -> DataFrame:
@@ -137,11 +153,7 @@ def lookup_subject(
     O(table/n_buckets) I/O instead of a full scan. ``n_buckets`` must
     match the value the pipeline wrote with
     (``plans/pipeline.py`` stage ``buckets=(16, "subject_id")``)."""
-    df = spark.read.parquet(spo_dir)
-    bucket = F.pmod(F.hash(F.lit(subject_id)), F.lit(n_buckets))
-    return df.filter(
-        (F.col("_bucket") == bucket) & (F.col("subject_id") == subject_id)
-    )
+    return _point_lookup(spark, spo_dir, "subject_id", subject_id, n_buckets)
 
 
 def lookup_object(
@@ -149,11 +161,7 @@ def lookup_object(
 ) -> DataFrame:
     """Object-side point lookup on the OPS table (below) — the reverse
     index. Same constant-folded bucket pruning as ``lookup_subject``."""
-    df = spark.read.parquet(ops_dir)
-    bucket = F.pmod(F.hash(F.lit(object_id)), F.lit(n_buckets))
-    return df.filter(
-        (F.col("_bucket") == bucket) & (F.col("object_id") == object_id)
-    )
+    return _point_lookup(spark, ops_dir, "object_id", object_id, n_buckets)
 
 
 def two_hop(edges: DataFrame) -> DataFrame:

@@ -80,7 +80,7 @@ class Pipeline:
             n, col = buckets
             # parquet path has no bucket metastore; emulate with an
             # explicit bucket column so scans can prune on it
-            df = df.withColumn("_bucket", F.pmod(F.hash(F.col(col)), F.lit(n)))
+            df = df.withColumn("_bucket", materialize.bucket_expr(F.col(col), n))
             writer = df.write.format(self.fmt).mode("overwrite").partitionBy("_bucket")
         writer.save(out)
         written = self.spark.read.format(self.fmt).load(out)

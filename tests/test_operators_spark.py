@@ -380,24 +380,28 @@ def test_html_to_text_strips_boilerplate(spark):
     assert '"quoted" \'s <tag>' in out                      # full decode chain
 
 
-def test_lookup_subject_prunes_partitions(spark, tmp_path):
-    from openie_backend_spark.operators.materialize import lookup_subject
+@pytest.mark.parametrize("side", ["subject", "object"])
+def test_point_lookup_prunes_partitions(spark, tmp_path, side):
+    """Both sort orders: the bucket predicate must appear as a
+    PartitionFilter (one directory read), not a post-scan filter."""
+    from openie_backend_spark.operators import materialize as M
 
-    spo = spark.createDataFrame(
-        [(f"n:{i:04d}", f"subj {i}", "acquired", f"o:{i}", f"obj {i}", 1)
+    key_col = f"{side}_id"
+    lookup = M.lookup_subject if side == "subject" else M.lookup_object
+    table = spark.createDataFrame(
+        [(f"n:{i:04d}", f"subj {i}", "acquired", f"o:{i:04d}", f"obj {i}", 1)
          for i in range(64)],
         "subject_id string, subject string, predicate string, "
         "object_id string, object string, group_size long",
-    ).withColumn("_bucket", F.pmod(F.hash(F.col("subject_id")), F.lit(16)))
-    out = str(tmp_path / "spo")
-    spo.write.partitionBy("_bucket").parquet(out)
+    ).withColumn("_bucket", M.bucket_expr(F.col(key_col), 16))
+    out = str(tmp_path / side)
+    table.write.partitionBy("_bucket").parquet(out)
 
-    hit = lookup_subject(spark, out, "n:0007", n_buckets=16)
+    key = "n:0007" if side == "subject" else "o:0007"
+    hit = lookup(spark, out, key, n_buckets=16)
     rows = hit.collect()
     assert len(rows) == 1 and rows[0]["subject"] == "subj 7"
     plan = hit._jdf.queryExecution().executedPlan().toString()
-    # partition-pruned scan: the bucket predicate must appear as a
-    # PartitionFilter (one directory read), not a post-scan filter only
     assert "PartitionFilters" in plan and "_bucket" in plan.split(
         "PartitionFilters", 1)[1][:200]
 
@@ -468,23 +472,3 @@ def test_link_min_score_rejects_after_argmax(spark):
         f"{floor['arg1_entity']}")
     free = link_groups(groups, dims, min_score=0.0).first()
     assert free["arg1_entity"]["name"] == "FullEnt"  # longest suffix wins
-
-
-def test_lookup_object_prunes_partitions(spark, tmp_path):
-    from openie_backend_spark.operators.materialize import lookup_object
-
-    ops = spark.createDataFrame(
-        [(f"n:{i:04d}", f"subj {i}", "acquired", f"o:{i:04d}", f"obj {i}", 1)
-         for i in range(64)],
-        "subject_id string, subject string, predicate string, "
-        "object_id string, object string, group_size long",
-    ).withColumn("_bucket", F.pmod(F.hash(F.col("object_id")), F.lit(16)))
-    out = str(tmp_path / "ops")
-    ops.write.partitionBy("_bucket").parquet(out)
-
-    hit = lookup_object(spark, out, "o:0007", n_buckets=16)
-    rows = hit.collect()
-    assert len(rows) == 1 and rows[0]["subject"] == "subj 7"
-    plan = hit._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "_bucket" in plan.split(
-        "PartitionFilters", 1)[1][:200]
