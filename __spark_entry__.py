@@ -29,6 +29,23 @@ from openie_backend_spark.operators.group import group_extractions
 from openie_backend_spark.operators.materialize import spo_table
 
 
+def _prune_stale_workdirs(prefix: str, keep: str, max_age_s: int = 3600) -> None:
+    """Remove pid-suffixed oracle workdirs left by dead harness runs.
+    Age-guarded so a live concurrent run (a different pid, recent
+    mtime) is never raced — the ADVICE-r4 concurrent-clobber fix keeps
+    per-pid isolation; this keeps /tmp bounded."""
+    import glob
+    import shutil
+    import time
+
+    for old in glob.glob(prefix + "*"):
+        try:
+            if old != keep and time.time() - os.path.getmtime(old) > max_age_s:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # sandbox parquet files are single-row-group (unsplittable), so the
@@ -844,7 +861,10 @@ def _stream_incremental_merge(spark, sf):
     from openie_backend_spark.streaming.ingest import run_incremental
 
     pages, _ = _synth(spark)
-    work = f"/tmp/openie_stream_oracle_{mirror.source_version()}"
+    # pid-suffixed: rebuilt per run, and two concurrent harness runs
+    # must not clobber each other's checkpoints (ADVICE r4)
+    work = f"/tmp/openie_stream_oracle_{mirror.source_version()}.{os.getpid()}"
+    _prune_stale_workdirs("/tmp/openie_stream_oracle_", work)
     shutil.rmtree(work, ignore_errors=True)
     landing = os.path.join(work, "landing")
     groups_dir = os.path.join(work, "groups")
@@ -902,7 +922,10 @@ def _s5_pipeline_resume(spark, sf):
     from openie_backend_spark.plans.pipeline import Pipeline
 
     pages, _ = _synth(spark)
-    work = f"/tmp/openie_pipeline_oracle_{mirror.source_version()}"
+    # pid-suffixed: resume is exercised by the two runs WITHIN this
+    # function, so no cross-run cache is wanted (ADVICE r4)
+    work = f"/tmp/openie_pipeline_oracle_{mirror.source_version()}.{os.getpid()}"
+    _prune_stale_workdirs("/tmp/openie_pipeline_oracle_", work)
     shutil.rmtree(work, ignore_errors=True)
     Pipeline(spark, work).run(pages)   # cold run: materialize all stages
     p2 = Pipeline(spark, work)         # fresh driver, same workdir
@@ -992,22 +1015,31 @@ def _j2_salted_join(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """FROZEN at exactly 50 entries (round 5): the driver records the
+    first 50 dict entries, so every real-chain operator must live
+    inside that window (VERDICT r4 'Next round' #1). Ten TPC-H analog
+    rows whose §2 primitive is duplicated by a driver-green kg row
+    moved to ``extra_queries()`` (still run by scripts/check_oracles.py
+    and bench.py, just not competing for driver rows):
+
+      g1_group_agg → kg_groups/kg_spo (G1), g2_regroup_hist →
+      kg_regroup_merge (G2), g4_ratio → kg_inlink_ratio (G4),
+      t7_topk → kg_serving_budget (T7), t9 kept (only T9 row),
+      j9_upsert → stream_incremental_merge (J9 real chain),
+      f2_doc_filters → kg chains (F2), g12_projections →
+      kg_answer_projections (G12), set_union_distinct →
+      dedup_clusters' edge union + kg distinct (set ops),
+      q_conjunctive_topk → kg_serving_query* (T8),
+      w_t1_events_top2 → t9_per_key_cap (same window primitive).
+
+    Do NOT append here — add new operators to ``extra_queries()``
+    unless a window slot is freed deliberately."""
     return {
-        "g1_group_agg": _g1_group_agg,
-        "g2_regroup_hist": _g2_regroup_hist,
-        "g4_ratio": _g4_ratio,
         "g5_argpair_cap": _g5_argpair_cap,
-        "t7_topk": _t7_topk,
         "t9_per_key_cap": _t9_per_key_cap,
         "j3_broadcast_dim": _j3_broadcast_dim,
         "j_left_anti": _j_left_anti,
-        "j9_upsert": _j9_upsert,
-        "f2_doc_filters": _f2_doc_filters,
         "f9_hash_sample": _f9_hash_sample,
-        "g12_projections": _g12_projections,
-        "set_union_distinct": _set_union_distinct,
-        "q_conjunctive_topk": _q_conjunctive_topk,
-        "w_t1_events_top2": _w_t1_events_top2,
         "txt_token_count": _txt_token_count,
         "txt_bpe_count": _txt_bpe_count,
         "txt_lang_id": _txt_lang_id,
@@ -1053,6 +1085,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_pipeline_resume": _s5_pipeline_resume,
         "s4_point_lookup": _s4_point_lookup,
         "src_tab_sentences": _src_tab_sentences,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """TPC-H analog demos OUTSIDE the driver's 50-row window (see
+    queries() docstring). Verified locally by scripts/check_oracles.py
+    against the same oracle_sql() entries; g1/t9-style rows also serve
+    as bench-suite tells (bench.py)."""
+    return {
+        "g1_group_agg": _g1_group_agg,
+        "g2_regroup_hist": _g2_regroup_hist,
+        "g4_ratio": _g4_ratio,
+        "t7_topk": _t7_topk,
+        "j9_upsert": _j9_upsert,
+        "f2_doc_filters": _f2_doc_filters,
+        "g12_projections": _g12_projections,
+        "set_union_distinct": _set_union_distinct,
+        "q_conjunctive_topk": _q_conjunctive_topk,
+        "w_t1_events_top2": _w_t1_events_top2,
     }
 
 
@@ -1136,11 +1187,24 @@ def _embedding_neardup_sql(threshold: float, n_planes: int = 32, bands: int = 4)
             SELECT vec_id, band_idx,
                    substr(bits, band_idx * {rpb} + 1, {rpb}) AS band_key
             FROM bb, (SELECT unnest([{band_list}]) AS band_idx)
-        ), cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        ), bsize AS (
+            -- star-cap mirror of dedup.bucketed_pairs(max_full_bucket=64)
+            SELECT band_idx, band_key, count(*) AS n, min(vec_id) AS rep
+            FROM banded GROUP BY 1, 2
+        ), cand0 AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM banded a JOIN banded b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.vec_id < b.vec_id
+            JOIN bsize s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+            WHERE s.n <= 64
+            UNION
+            SELECT s.rep, x.vec_id
+            FROM banded x
+            JOIN bsize s ON s.band_idx = x.band_idx AND s.band_key = x.band_key
+            WHERE s.n > 64 AND x.vec_id <> s.rep
+        ), cand AS (
+            SELECT DISTINCT vec_a, vec_b FROM cand0
         )
         SELECT c.vec_a, c.vec_b,
                round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
@@ -1405,11 +1469,38 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "dedup_simhash": simhash_select,
+        # Full mirror of dedup.simhash_banded_pairs incl. the shared
+        # star-cap (r4 VERDICT #2): 4-bit bands have only 16 values, so
+        # the 64-cap BINDS at sandbox scale — the oracle must model the
+        # exact candidate set (capped banding), not exhaustive pairs.
         "dedup_simhash_banded": (
-            "WITH sig AS (" + simhash_select + """)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            "WITH sig AS (" + simhash_select + """),
+            banded AS (
+                SELECT doc_id, b AS band_idx,
+                       (simhash >> (b * 4)) & 15 AS band_val
+                FROM sig, (SELECT unnest([0,1,2,3]) AS b)
+            ), bsize AS (
+                SELECT band_idx, band_val, count(*) AS n, min(doc_id) AS rep
+                FROM banded GROUP BY 1, 2
+            ), cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a
+                JOIN banded b ON a.band_idx = b.band_idx
+                             AND a.band_val = b.band_val
+                             AND a.doc_id < b.doc_id
+                JOIN bsize s ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+                WHERE s.n <= 64
+                UNION
+                SELECT s.rep, x.doc_id
+                FROM banded x
+                JOIN bsize s ON s.band_idx = x.band_idx AND s.band_val = x.band_val
+                WHERE s.n > 64 AND x.doc_id <> s.rep
+            ), cd AS (SELECT DISTINCT doc_a, doc_b FROM cand)
+            SELECT c.doc_a, c.doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            FROM cd c
+            JOIN sig a ON a.doc_id = c.doc_a
+            JOIN sig b ON b.doc_id = c.doc_b
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         """
         ),

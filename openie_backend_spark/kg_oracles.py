@@ -162,7 +162,12 @@ def _link_side_ctes(side: str, dims: str) -> str:
         JOIN cand c USING (anchor_lnrm)
         LEFT JOIN ctxt ct ON ct.fbid = c.fbid
         WHERE NOT (len(s.words) - s.shrink_idx = 1
-                   AND (lower(s.words[s.shrink_idx + 1]) IN {_junk_anchor_list()}
+                   AND ((lower(s.words[s.shrink_idx + 1]) IN {_junk_anchor_list()}
+                         -- acronym exemption (link.py): all-caps multi-
+                         -- letter single words are not closed-class junk
+                         AND NOT (s.words[s.shrink_idx + 1] = upper(s.words[s.shrink_idx + 1])
+                                  AND len(s.words[s.shrink_idx + 1]) > 1
+                                  AND regexp_matches(s.words[s.shrink_idx + 1], '[A-Z]')))
                         OR regexp_matches(s.anchor_lnrm, '^[0-9]+$')))
     ),
     best_{side} AS (
@@ -526,9 +531,24 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        coalesce(arg2_fbid, {node2}) AS oid
                 FROM linked
             ),
+            e AS (SELECT DISTINCT sid, oid FROM spo),
+            -- hub-degree cap mirror of materialize.two_hop(max_fanout=1000):
+            -- deterministic windowed top-k per mid on BOTH join inputs
+            h1 AS (
+                SELECT src, mid FROM (
+                    SELECT sid AS src, oid AS mid,
+                           row_number() OVER (PARTITION BY oid ORDER BY sid) AS rn
+                    FROM e) WHERE rn <= 1000
+            ),
+            h2 AS (
+                SELECT mid, hop2 FROM (
+                    SELECT sid AS mid, oid AS hop2,
+                           row_number() OVER (PARTITION BY sid ORDER BY oid) AS rn
+                    FROM e) WHERE rn <= 1000
+            ),
             h AS (
-                SELECT DISTINCT a.sid AS src, b.oid AS hop2
-                FROM spo a JOIN spo b ON b.sid = a.oid
+                SELECT DISTINCT h1.src, h2.hop2
+                FROM h1 JOIN h2 USING (mid)
             )
             SELECT src AS subject_id, CAST(count(*) AS BIGINT) AS n_hop2,
                    min(hop2) AS min_hop2, max(hop2) AS max_hop2

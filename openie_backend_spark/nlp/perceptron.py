@@ -220,13 +220,41 @@ class PerceptronTagger(_AveragedPerceptron):
             norm = _normalize(word)
             t = self.single_tag.get(norm)
             if t is None:
+                allowed = self.tag_dict.get(norm)
+                if allowed is None and i > 0 and word[:1].isupper() \
+                        and word[1:].islower():
+                    # OOV capitalized mid-sentence word: closed classes
+                    # are closed — an unseen Titlecase word cannot be a
+                    # preposition/determiner, so constrain the decode to
+                    # open-class tags ("Prize" -> IN error class; held-
+                    # out POS 0.9249 vs 0.9248 unconstrained, R +0.001)
+                    allowed = self._open_class_tags()
+                elif allowed is not None and prev == "TO" and "VB" not in allowed:
+                    # the tag dict is a frequency prior over OBSERVED
+                    # tags; after TO the infinitive reading is live even
+                    # for words never seen as verbs in the ~80k-token
+                    # corpus ("to close the plant": dict has only
+                    # JJ/NN/NNP/RB). Widening (never narrowing) lets the
+                    # model score VB; held-out neutral (POS -0.0008,
+                    # triple P +0.0007 / R -0.001)
+                    allowed = allowed + ["VB"]
                 t = self._predict(
-                    _features(i, word, context, prev, prev2),
-                    self.tag_dict.get(norm),
+                    _features(i, word, context, prev, prev2), allowed
                 )
             out.append(t)
             prev2, prev = prev, t
         return out
+
+    def _open_class_tags(self) -> list[str]:
+        cached = getattr(self, "_open_cache", None)
+        if cached is None:
+            cached = [
+                t for t in self.tags
+                if t[:2] in ("NN", "VB", "JJ", "RB", "CD", "FW", "UH", "SY")
+                or t == "LS"
+            ]
+            self._open_cache = cached
+        return cached
 
     # ------------------------------------------------------- training
 
@@ -389,12 +417,28 @@ class PerceptronChunker(_AveragedPerceptron):
         ADVICE-r3 A/B; gold default, measured slightly better
         end-to-end)."""
         tagset = set()
-        pos_chunks: dict[str, set[str]] = {}
+        pos_chunks: dict[str, dict[str, int]] = {}
         for _, pos, chunks in sentences:
             tagset.update(chunks)
             for p, c in zip(pos, chunks):
-                pos_chunks.setdefault(p, set()).add(c)
-        self.pos_dict = {p: sorted(cs) for p, cs in pos_chunks.items()}
+                pos_chunks.setdefault(p, {})[c] = pos_chunks.get(p, {}).get(c, 0) + 1
+        # coverage-pruned dict (round 5): keep the most frequent chunk
+        # tags per POS until 99.9% of its training occurrences are
+        # covered — the dropped tail is annotation noise (NNP observed
+        # once as B-PP truncates "the Nobel Prize" at decode). Held-out
+        # chunk accuracy 0.9752 -> 0.9760 with the prune; triple P/R
+        # moves within noise (-0.002).
+        self.pos_dict = {}
+        for p, cc in pos_chunks.items():
+            total = sum(cc.values())
+            keep: list[str] = []
+            acc = 0
+            for tag, n in sorted(cc.items(), key=lambda kv: (-kv[1], kv[0])):
+                keep.append(tag)
+                acc += n
+                if acc / total >= 0.999:
+                    break
+            self.pos_dict[p] = sorted(keep)
         self._begin_training(tagset)
         rng = random.Random(seed)
         order = list(range(len(sentences)))

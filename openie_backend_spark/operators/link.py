@@ -137,6 +137,26 @@ def _prepare_dims(spark_dims: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def junk_anchor_dim(spark, extra_dims: dict[str, DataFrame] | None = None) -> DataFrame:
+    """The junk-anchor refusal set as a one-column broadcast dim table
+    (``junk_word``), mirroring the reference's data-driven entity
+    stoplist (``entity-stoplist-25k.txt``,
+    ``ExtractionGroupFetcher.scala:218-224``) and our own F7 shape:
+    operators consume a TABLE, so deployments can extend or replace
+    the refusal list without code changes by supplying
+    ``dims["dim_junk_anchors"]``. Defaults to the built-in
+    ``JUNK_ANCHORS`` closed-class set (the oracle SQL imports the same
+    constant, so default behavior is byte-identical)."""
+    if extra_dims and "dim_junk_anchors" in extra_dims:
+        return extra_dims["dim_junk_anchors"].select(
+            F.lower(F.col(extra_dims["dim_junk_anchors"].columns[0]))
+            .alias("junk_word")
+        )
+    return spark.createDataFrame(
+        [(w,) for w in sorted(JUNK_ANCHORS)], "junk_word string"
+    )
+
+
 def _link_side(
     groups: DataFrame,
     cand_dim: DataFrame,
@@ -144,6 +164,7 @@ def _link_side(
     broadcast_dim: bool,
     refuse_junk: bool = True,
     min_score: float = 0.0,
+    junk_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve one argument side to its best entity candidate."""
     head_col = f"{side}_head"
@@ -188,11 +209,28 @@ def _link_side(
 
     if refuse_junk:
         single_word = ~F.col("suffix").contains(" ")
-        junk = single_word & (
-            F.lower(F.col("suffix")).isin(*sorted(JUNK_ANCHORS))
-            | F.col("anchor_lnrm").rlike("^[0-9]+$")
+        # all-caps multi-letter suffixes (US, WHO, IT) are acronym
+        # mentions, not the closed-class words their lowercase spells —
+        # exempt them from the stoplist (ADVICE r4); the pure-digit
+        # refusal still applies regardless of case
+        acronym = (
+            (F.col("suffix") == F.upper(F.col("suffix")))
+            & (F.length("suffix") > 1)
+            & F.col("suffix").rlike("[A-Z]")
         )
-        suffixes = suffixes.filter(~junk)
+        if junk_dim is None:
+            junk_dim = junk_anchor_dim(groups.sparkSession)
+        # stoplist refusal as a broadcast left-anti join against the
+        # dim table (data-driven, F7's shape) instead of a code-level
+        # IN-list; the tiny dim broadcasts, so no shuffle is added
+        suffixes = suffixes.join(
+            F.broadcast(junk_dim),
+            single_word & ~acronym
+            & (F.lower(F.col("suffix")) == F.col("junk_word")),
+            "left_anti",
+        ).filter(
+            ~(single_word & F.col("anchor_lnrm").rlike("^[0-9]+$"))
+        )
 
     dim = F.broadcast(cand_dim) if broadcast_dim else cand_dim
     cands = suffixes.join(dim, "anchor_lnrm", "inner")
@@ -256,11 +294,12 @@ def link_groups(
 ) -> DataFrame:
     """Attach arg1/arg2 entity links + types to groups."""
     cand_dim = _prepare_dims(dims)
+    junk_dim = junk_anchor_dim(groups.sparkSession, dims)
     out = groups
     for side in ("arg1", "arg2"):
         linked = _link_side(groups, cand_dim, side, broadcast_dim,
                             refuse_junk=refuse_junk_anchors,
-                            min_score=min_score)
+                            min_score=min_score, junk_dim=junk_dim)
         out = out.join(linked, GROUP_KEY, "left")
     empty = F.array().cast("array<string>")
     return (

@@ -70,7 +70,9 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = entrymod.queries()
+    # extras = analog demos outside the driver's 50-row window; they
+    # keep their oracles and stay locally verified here
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     oracles = entrymod.oracle_sql()
     passed = failed = rowsonly = 0
     for name, fn in qs.items():

@@ -1,0 +1,99 @@
+"""Star-cap growth evidence for the two round-5-capped banded paths
+(VERDICT r4 #2 'Done' criterion): plant 100-member duplicate clusters
+and show emitted-pair growth is LINEAR in cluster count under the cap
+(representative→member stars) where the uncapped join is quadratic.
+
+Writes a markdown section appended to BENCH/NEARDUP.md.
+
+Usage: python scripts/neardup_cap_growth.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from openie_backend_spark.operators import dedup as D
+    from openie_backend_spark.session import get_spark
+
+    spark = get_spark(app_name="neardup-cap-growth", parallelism=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows_md = []
+    for n_clusters in (10, 20, 40):
+        members = 100
+        docs = spark.createDataFrame(
+            [(c * members + m,
+              f"boilerplate page body for cluster {c} repeated words "
+              f"{' '.join(['w' + str((c * 7 + k) % 11) for k in range(12)])}")
+             for c in range(n_clusters) for m in range(members)],
+            "doc_id long, text string",
+        ).cache()
+        docs.count()
+        vecs = spark.createDataFrame(
+            [(c * members + m, [float((c + 1) * ((d % 7) - 3)) for d in range(64)])
+             for c in range(n_clusters) for m in range(members)],
+            "vec_id long, embedding array<double>",
+        ).cache()
+        vecs.count()
+
+        t0 = time.time()
+        sh_cap = D.simhash_banded_pairs(docs, max_hamming=None,
+                                        max_full_bucket=64).count()
+        t_sh = time.time() - t0
+        t0 = time.time()
+        em_cap = D.embedding_neardup_pairs(vecs, threshold=0.99,
+                                           max_full_bucket=64).count()
+        t_em = time.time() - t0
+        rows_md.append(
+            f"| {n_clusters}×100 | {sh_cap} | {t_sh:.2f} | {em_cap} | {t_em:.2f} |"
+        )
+        print(rows_md[-1])
+        docs.unpersist(); vecs.unpersist()
+
+    # uncapped reference point at the smallest size only (quadratic)
+    docs = spark.createDataFrame(
+        [(c * 100 + m, f"boilerplate page body for cluster {c} repeated words")
+         for c in range(10) for m in range(100)],
+        "doc_id long, text string")
+    t0 = time.time()
+    sh_unc = D.simhash_banded_pairs(docs, max_hamming=None,
+                                    max_full_bucket=None).count()
+    t_unc = time.time() - t0
+
+    section = f"""
+
+## Round 5: star-cap shared with banded SimHash + embedding near-dup
+
+Planted k clusters of 100 identical members each (every cluster over
+the `max_full_bucket=64` cap, the boilerplate regime). Under the cap a
+cluster emits its 99 representative→member star pairs instead of 4950
+— emitted pairs grow LINEARLY in cluster count; the uncapped join is
+quadratic per cluster:
+
+| corpus | simhash-banded pairs (capped) | sec | embedding pairs (capped) | sec |
+|---|---|---|---|---|
+{chr(10).join(rows_md)}
+
+Uncapped reference (10×100 docs): {sh_unc} simhash pairs
+({sh_unc // 10} per cluster, quadratic) in {t_unc:.2f}s vs the capped
+row's linear 99/cluster. (Identical clusters can share 16-bit band
+values, so capped totals can exceed k×99 by cross-cluster star pairs
+— bounded by the same cap; exact per-path counts are pinned by
+`tests/test_operators_spark.py::test_banded_pairs_star_cap_is_linear`.)
+Connectivity for `dup_clusters` labeling survives the cap (same test:
+one component, min-id label).
+"""
+    with open("/root/repo/BENCH/NEARDUP.md", "a") as fh:
+        fh.write(section)
+    print("appended to BENCH/NEARDUP.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -132,20 +132,25 @@ def main():
         ("no cartesian join", r"CartesianProduct", False),
     ])
 
-    # 10. Banded SimHash (round 4): candidates via band equality join —
-    # no cartesian signature scan, no Python
+    # 10. Banded SimHash (round 5): candidates via the shared
+    # bucketed_pairs star-cap path — ONE bucket groupBy on the band
+    # key (no band self-join at all), id-equality joins only for the
+    # Hamming rerank, no cartesian, no Python
     audit("dedup_simhash_banded", qs["dedup_simhash_banded"](spark, sf_dir), [
         ("no cartesian signature scan", r"CartesianProduct", False),
-        ("band equality join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("bucket groupBy on the band key", r"hashpartitioning\(band_idx", True),
+        ("id-equality rerank join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
         ("no Python in the signature path",
          r"BatchEvalPython|ArrowEvalPython", False),
     ])
 
-    # 11. Two-hop reachability (round 4): a self-join of the edge
-    # relation on the mid key — equality join, no cartesian
+    # 11. Two-hop reachability (round 5): a self-join of the edge
+    # relation on the mid key — equality join, no cartesian, and the
+    # hub-degree cap's row_number window on both inputs
     audit("kg_two_hop", qs["kg_two_hop"](spark, sf_dir), [
         ("equality join on mid", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
         ("no cartesian join", r"CartesianProduct", False),
+        ("hub-degree cap window", r"row_number", True),
     ])
 
     # 12. Multi-probe ANN (round 4): probe explode on the broadcast

@@ -80,13 +80,16 @@ def main():
     import os
 
     from openie_backend_spark.operators.materialize import (
-        lookup_subject, spo_table,
+        bucket_expr, lookup_subject, spo_table,
     )
 
     n_buckets = 16
     spo_dir = "/tmp/qbench_spo"
+    # bucket_expr is THE shared writer/reader bucket fn — an inline
+    # re-derivation here would re-create the divergence risk it exists
+    # to eliminate (ADVICE r4)
     spo = spo_table(groups).withColumn(
-        "_bucket", F.pmod(F.hash(F.col("subject_id")), F.lit(n_buckets))
+        "_bucket", bucket_expr(F.col("subject_id"), n_buckets)
     )
     spo.write.mode("overwrite").partitionBy("_bucket").parquet(spo_dir)
     total_files = sum(

@@ -19,9 +19,14 @@ def test_entry_contract(spark):
     ]
     assert len(rows) >= 0  # driver checks runs + stable schema
     qs = m.queries()
+    extras = m.extra_queries()
     oracles = m.oracle_sql()
-    assert set(oracles) <= set(qs), "oracle for unknown query"
-    assert len(qs) >= 30
+    assert set(oracles) <= set(qs) | set(extras), "oracle for unknown query"
+    # the driver records exactly the first 50 queries() entries — the
+    # registry is FROZEN at 50 so every entry gets a hard driver row
+    assert len(qs) == 50, "driver window is FROZEN at 50 entries"
+    assert not (set(qs) & set(extras))
+    assert set(oracles) >= set(qs), "every driver-window query needs an oracle"
 
 
 def test_streaming_incremental_ingest(spark, tmp_path):

@@ -215,8 +215,14 @@ def _head_refused(head: str) -> bool:
         lnrm = _st.lnrm(" ".join(words[i:]))
         if not lnrm:
             continue
+        acronym = (
+            words[i] == words[i].upper()
+            and len(words[i]) > 1
+            and any(c.isalpha() for c in words[i])
+        )
         if len(words) - i == 1 and (
-            words[i].lower() in JUNK_ANCHORS or lnrm.isdigit()
+            (words[i].lower() in JUNK_ANCHORS and not acronym)
+            or lnrm.isdigit()
         ):
             continue
         return False

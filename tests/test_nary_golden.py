@@ -142,9 +142,30 @@ def test_conj_repair_skips_disjunction():
     assert "Acme Corp" not in arg1s
 
 
+# Explicit known misses (VERDICT r4 #4 "35/35 or explicit xfail"):
+# both failures share ONE cause — the MATRIX VERB immediately after the
+# closing comma of a relative clause is mis-tagged (OOV "won" -> DT;
+# noun-biased "lives" -> NNS), because the prev-tag context "," looks
+# like an NP start and the ~80k-token gold corpus has no more
+# ", <verb>" resumption evidence (scripts/train_tagger.py is
+# data-limited; the reference sidesteps this with binary OpenNLP models
+# we cannot ship). Resolving relative-clause resumption is a
+# dependency-parse-level feature (SURVEY "what's missing" #1). Every
+# other construction class — xcomp/object control (fixed round 5 by the
+# TO->VB dict widening), appositives, ccomp, conj repair, relclause
+# bodies, "the Nobel Prize" NP boundary (fixed round 5 by the
+# coverage-pruned chunk dict + capitalized-OOV open-class decode) — is
+# green.
+KNOWN_MISSES = {
+    "Marie Curie , who discovered radium , won the Nobel Prize in 1911 .",
+    "Bob Smith , who founded Initech , lives in Springfield .",
+}
+
+
 def test_nary_golden_pr():
     tp = fn = 0
     misses = []
+    stale_known = []
     n_pred = 0
     for sent, kind, a1, rel, a2s in GOLD:
         preds = _predicted(sent)
@@ -158,16 +179,21 @@ def test_nary_golden_pr():
         )
         if hit:
             tp += 1
+            if sent in KNOWN_MISSES:
+                stale_known.append(sent)
         else:
             fn += 1
-            misses.append((sent[:50], want, sorted(preds)[:3]))
+            if sent not in KNOWN_MISSES:
+                misses.append((sent[:50], want, sorted(preds)[:3]))
     recall = tp / (tp + fn)
-    # precision proxy: the goldens label one construction per sentence,
-    # but extra T rows (sub-extractions) are legitimate; require the
-    # labeled construction to be found (recall gate) and report density
     print(f"nary golden recall {recall:.3f} ({tp}/{tp+fn}), "
           f"{n_pred} predictions over {len(GOLD)} sentences")
-    assert recall >= 0.8, f"misses: {misses}"
+    # strict-xfail semantics: every non-known golden must hit, and a
+    # known miss that starts passing must be removed from the list
+    assert not misses, f"NEW misses: {misses}"
+    assert not stale_known, (
+        f"now passing — remove from KNOWN_MISSES: {stale_known}")
+    assert recall >= 0.9
 
 
 # (tokens, pos, chunks) hand-built GOLD layers for constructions the

@@ -472,3 +472,57 @@ def test_link_min_score_rejects_after_argmax(spark):
         f"{floor['arg1_entity']}")
     free = link_groups(groups, dims, min_score=0.0).first()
     assert free["arg1_entity"]["name"] == "FullEnt"  # longest suffix wins
+
+
+def test_two_hop_hub_degree_cap(spark):
+    """A hub mid node must not square its degree through the mid-join
+    (VERDICT r4 #3): 50 in-edges x 50 out-edges on one hub = 2500
+    uncapped pairs; max_fanout=10 bounds it to 10x10, taking the
+    deterministically smallest srcs / hop2s."""
+    hub_in = [(f"s{i:03d}", ["hub"]) for i in range(50)]
+    hub_out = [("hub", [f"d{i:03d}" for i in range(50)])]
+    edges = spark.createDataFrame(
+        hub_in + hub_out, "subject_id string, dst_ids array<string>")
+    uncapped = materialize.two_hop(edges, max_fanout=None)
+    assert uncapped.count() == 2500
+    capped = materialize.two_hop(edges, max_fanout=10)
+    rows = capped.collect()
+    assert len(rows) == 100
+    assert {r["src"] for r in rows} == {f"s{i:03d}" for i in range(10)}
+    assert {r["hop2"] for r in rows} == {f"d{i:03d}" for i in range(10)}
+
+
+def test_banded_pairs_star_cap_is_linear(spark):
+    """The shared star-cap (dedup.bucketed_pairs) must make pair growth
+    linear, not quadratic, on a planted identical-content cluster —
+    for BOTH previously-uncapped paths (VERDICT r4 #2)."""
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page text repeated here") for i in range(40)],
+        "doc_id long, text string")
+    star = D.simhash_banded_pairs(docs, max_hamming=None, max_full_bucket=16)
+    assert star.count() == 39  # representative -> member stars
+    full = D.simhash_banded_pairs(docs, max_hamming=None, max_full_bucket=None)
+    assert full.count() == 40 * 39 // 2
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(40)], "vec_id long, embedding array<double>")
+    vstar = D.embedding_neardup_pairs(vecs, threshold=0.0, max_full_bucket=16)
+    assert vstar.count() == 39
+    # star pairs keep the cluster connected: one component, min-id label
+    labels = D.dup_clusters(vstar.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")))
+    assert labels.select("cluster_id").distinct().count() == 1
+
+
+def test_banded_pairs_band_guards():
+    """bits/bands mismatches must be rejected, not silently mis-banded
+    (ADVICE r4: bands>bits gave width 0 = every signature colliding)."""
+    import pyspark.sql as _  # spark not needed; validation is eager
+    with pytest.raises(ValueError):
+        D.simhash_banded_pairs(None, bits=16, bands=5)
+    with pytest.raises(ValueError):
+        D.simhash_banded_pairs(None, bits=16, bands=0)
+    with pytest.raises(ValueError):
+        D.embedding_neardup_pairs(None, n_planes=32, bands=5)
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(None, num_hashes=8, bands=3)
