@@ -526,3 +526,73 @@ def test_banded_pairs_band_guards():
         D.embedding_neardup_pairs(None, n_planes=32, bands=5)
     with pytest.raises(ValueError):
         D.minhash_lsh_pairs(None, num_hashes=8, bands=3)
+
+
+def _one_anchor_dims(spark, anchor_lnrm):
+    """Minimal candidate dim resolving ``anchor_lnrm`` to one entity
+    whose context always matches (score > 0)."""
+    return {
+        "dim_anchor_prior": spark.createDataFrame(
+            [(anchor_lnrm, "Ent", 0.9, 1000)],
+            "anchor_lnrm string, entity_title string, cprob double, count long"),
+        "dim_title_fbid": spark.createDataFrame(
+            [("Ent", "fe")], "title string, fbid string"),
+        "dim_fbid_title_inlinks": spark.createDataFrame(
+            [("fe", "Ent", 100)], "fbid string, title string, inlinks long"),
+        "dim_fbid_types": spark.createDataFrame(
+            [("fe", ["t"])], "fbid string, types array<string>"),
+        "dim_context_terms": spark.createDataFrame(
+            [("fe", "visited", 1.0)], "fbid string, term string, weight double"),
+    }
+
+
+def _head_group(spark, head):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(
+        arg1_norm=head.lower(), rel_norm="visit", arg2_norm="paris",
+        arg1_head=head, arg2_head="paris", size=1,
+        instances=[Row(tokens=[head.lower(), "visited", "paris"])],
+    )])
+
+
+def test_junk_anchor_acronym_exemption(spark):
+    """ADVICE r4: all-caps multi-letter anchors (US, WHO, IT) are
+    acronym mentions, not the closed-class words their lowercase
+    spells — they must link; the lowercase form stays refused, and
+    pure-digit anchors are refused regardless of the exemption."""
+    from openie_backend_spark.operators.link import link_groups
+
+    dims = _one_anchor_dims(spark, "us")
+    got = link_groups(_head_group(spark, "US"), dims).first()
+    assert got["arg1_entity"] is not None and got["arg1_entity"]["name"] == "Ent"
+    refused = link_groups(_head_group(spark, "us"), dims).first()
+    assert refused["arg1_entity"] is None
+    # refusal can be turned off entirely
+    free = link_groups(_head_group(spark, "us"), dims,
+                       refuse_junk_anchors=False).first()
+    assert free["arg1_entity"] is not None
+    # digits: upper == lower, so the acronym exemption never applies
+    dig = link_groups(_head_group(spark, "77"), _one_anchor_dims(spark, "77")).first()
+    assert dig["arg1_entity"] is None
+
+
+def test_junk_anchor_dim_override(spark):
+    """The refusal list is a data-driven dim table (reference
+    entity-stoplist shape): supplying dims["dim_junk_anchors"]
+    replaces the built-in closed-class set without code changes."""
+    from openie_backend_spark.operators.link import link_groups
+
+    dims = _one_anchor_dims(spark, "zorp")
+    # "zorp" is not in the built-in list -> links by default
+    assert link_groups(_head_group(spark, "zorp"), dims).first()["arg1_entity"]
+    # a custom one-word stoplist refuses it
+    dims2 = dict(dims)
+    dims2["dim_junk_anchors"] = spark.createDataFrame(
+        [("ZORP",)], "word string")  # lowercased by junk_anchor_dim
+    assert link_groups(_head_group(spark, "zorp"), dims2).first()["arg1_entity"] is None
+    # and the custom list REPLACES the default: "us" now links
+    got = link_groups(_head_group(spark, "us"),
+                      {**_one_anchor_dims(spark, "us"),
+                       "dim_junk_anchors": dims2["dim_junk_anchors"]}).first()
+    assert got["arg1_entity"] is not None
