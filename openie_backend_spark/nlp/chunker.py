@@ -162,18 +162,85 @@ def _tag_word(w: str, prev_tag: str, is_first: bool) -> str:
     return "NN"
 
 
+_WH_WORDS = frozenset({"who", "which", "whom", "whose"})
+_FINITE_TAGS = frozenset({"VBD", "VBZ", "VBP", "MD"})
+
+
+def _wh_bracket_spans(tokens: list[str]) -> list[tuple[int, int]]:
+    """Inclusive spans ``[i, j]`` of non-restrictive relative clauses
+    ``, who/which/whom/whose <body> ,`` whose closing comma is not
+    sentence-final. Surface-only detection — runs BEFORE tagging."""
+    spans: list[tuple[int, int]] = []
+    n = len(tokens)
+    i = 0
+    while i < n - 2:
+        if tokens[i] == "," and tokens[i + 1].lower() in _WH_WORDS:
+            j = i + 2
+            while j < n and tokens[j] != ",":
+                j += 1
+            if j < n - 1:
+                spans.append((i, j))
+                i = j + 1
+                continue
+        i += 1
+    return spans
+
+
+def _finite_verb_repair(tokens: list[str], tags: list[str],
+                        matrix: list[int]) -> None:
+    """If the matrix clause has no finite verb, retag the first
+    subject-adjacent NNS whose base form is a known verb as VBZ
+    (in place). Every main clause needs a finite verb; suffix features
+    bias OOV third-person-singular forms ('lives', 'heads') toward
+    NNS, and the ~80k-token gold corpus cannot teach them all."""
+    if any(tags[k] in _FINITE_TAGS for k in matrix):
+        return
+    for pos, k in enumerate(matrix):
+        if pos == 0 or tags[k] != "NNS":
+            continue
+        if tags[matrix[pos - 1]] not in ("NNP", "NNPS", "PRP", "NN", "NNS"):
+            continue
+        lw = tokens[k].lower()
+        base = lw[:-2] if lw.endswith("es") and lw[:-2] in _COMMON_VB \
+            else lw[:-1]
+        if base in _COMMON_VB:
+            tags[k] = "VBZ"
+            return
+
+
 def pos_tag(tokens: list[str]) -> list[str]:
     """POS layer. Primary path: the averaged-perceptron model trained
     on the reference's shipped tagged layers (held-out web POS acc
     ≈0.89 vs 0.71 for the rules below — scripts/train_tagger.py); the
     rule/lexicon tagger remains the deterministic fallback when no
-    model file is present."""
+    model file is present.
+
+    Two clause-level repairs wrap either tagger (sequence taggers are
+    local; these constraints are not):
+
+    * **relative-clause splice** — for ``X , who ... , <verb> ...``
+      the matrix verb's left context is the clause's closing comma,
+      which the gold corpus offers no resumption evidence for (OOV
+      'won' after ',' scored DT). Tag the bracket-stripped sequence
+      too and take its tags for the matrix tokens; the clause keeps
+      its full-context tags.
+    * **finite-verb repair** — see `_finite_verb_repair`.
+    """
     from openie_backend_spark.nlp import perceptron
 
     model = perceptron.get_tagger()
-    if model is not None:
-        return model.tag(tokens)
-    return rule_pos_tag(tokens)
+    tag_fn = model.tag if model is not None else rule_pos_tag
+    tags = tag_fn(tokens)
+    spans = _wh_bracket_spans(tokens)
+    if spans:
+        matrix = [k for k in range(len(tokens))
+                  if not any(i <= k <= j for i, j in spans)]
+        for k, t in zip(matrix, tag_fn([tokens[k] for k in matrix])):
+            tags[k] = t
+    else:
+        matrix = list(range(len(tokens)))
+    _finite_verb_repair(tokens, tags, matrix)
+    return tags
 
 
 def rule_pos_tag(tokens: list[str]) -> list[str]:

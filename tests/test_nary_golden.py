@@ -143,23 +143,18 @@ def test_conj_repair_skips_disjunction():
 
 
 # Explicit known misses (VERDICT r4 #4 "35/35 or explicit xfail"):
-# both failures share ONE cause — the MATRIX VERB immediately after the
-# closing comma of a relative clause is mis-tagged (OOV "won" -> DT;
-# noun-biased "lives" -> NNS), because the prev-tag context "," looks
-# like an NP start and the ~80k-token gold corpus has no more
-# ", <verb>" resumption evidence (scripts/train_tagger.py is
-# data-limited; the reference sidesteps this with binary OpenNLP models
-# we cannot ship). Resolving relative-clause resumption is a
-# dependency-parse-level feature (SURVEY "what's missing" #1). Every
-# other construction class — xcomp/object control (fixed round 5 by the
-# TO->VB dict widening), appositives, ccomp, conj repair, relclause
-# bodies, "the Nobel Prize" NP boundary (fixed round 5 by the
-# coverage-pruned chunk dict + capitalized-OOV open-class decode) — is
-# green.
-KNOWN_MISSES = {
-    "Marie Curie , who discovered radium , won the Nobel Prize in 1911 .",
-    "Bob Smith , who founded Initech , lives in Springfield .",
-}
+# EMPTY as of round 5. The last two misses shared one cause — the
+# MATRIX VERB immediately after a relative clause's closing comma was
+# mis-tagged (OOV "won" -> DT; noun-biased "lives" -> NNS) because the
+# prev-tag context "," has no ", <verb>" resumption evidence in the
+# ~80k-token gold corpus. Fixed by two clause-level repairs in
+# chunker.pos_tag: the relative-clause splice (tag the
+# bracket-stripped sequence and take its tags for the matrix tokens)
+# and the finite-verb repair (a matrix clause with no finite verb
+# retags a subject-adjacent verb-base NNS as VBZ). Both are
+# constraint-driven, not golden-specific; held-out web P/R unchanged
+# (0.834/0.839 — no held-out sentence triggers either repair).
+KNOWN_MISSES: set[str] = set()
 
 
 def test_nary_golden_pr():

@@ -206,3 +206,42 @@ def test_appos_rejects_adverbial_np_brackets():
         "The Stones , a rock band , played first .")
     if any(t == "NNPS" for t in tags2):
         assert nary.appos_extract(toks2, tags2, chks2)
+
+
+def test_relclause_splice_restores_matrix_verb():
+    """Round-5 repair: 'X , who ... , <verb>' — the matrix verb after
+    the clause's closing comma must tag as a verb (the splice tags the
+    bracket-stripped sequence; bare sequence taggers mis-tag the
+    resumption context)."""
+    toks = ("Marie Curie , who discovered radium , "
+            "won the Nobel Prize in 1911 .").split()
+    tags = chunker.pos_tag(toks)
+    assert tags[toks.index("won")] == "VBD"
+    assert tags[toks.index("discovered")] == "VBD"
+    # spans: one bracket, inclusive of both commas
+    assert chunker._wh_bracket_spans(toks) == [(2, 6)]
+    # sentence-final close comma (no matrix resumes) -> no bracket
+    assert chunker._wh_bracket_spans(
+        "He met Bob , who founded Initech .".split()) == []
+
+
+def test_finite_verb_repair_is_gated():
+    """The NNS->VBZ repair fires only when the matrix clause has NO
+    finite verb and the NNS has a known verb base after a subject."""
+    toks = "Bob Smith lives in Springfield .".split()
+    assert chunker.pos_tag(toks)[2] == "VBZ"
+    # a finite verb elsewhere suppresses the repair
+    toks2 = "The new plays in the theater were sold out .".split()
+    tags2 = chunker.pos_tag(toks2)
+    assert tags2[toks2.index("plays")] != "VBZ"
+    # non-verb-base NNS is never retagged (helper-level: hand-built
+    # tags isolate the gate from model idiosyncrasies on fragments)
+    toks3 = "The tall mountains in Chile .".split()
+    tags3 = ["DT", "JJ", "NNS", "IN", "NNP", "."]
+    chunker._finite_verb_repair(toks3, tags3, list(range(len(toks3))))
+    assert tags3[2] == "NNS"
+    # verb-base NNS after a subject IS retagged when no finite verb
+    toks4 = "Bob Smith lives in Springfield .".split()
+    tags4 = ["NNP", "NNP", "NNS", "IN", "NNP", "."]
+    chunker._finite_verb_repair(toks4, tags4, list(range(len(toks4))))
+    assert tags4[2] == "VBZ"
