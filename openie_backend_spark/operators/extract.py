@@ -126,6 +126,7 @@ def extract_pages(
     lang: str = "en",
     text_col: str = "text",
     include_layers: bool = True,
+    dedup_sentences: bool = False,
 ) -> DataFrame:
     """pages(url, text, lang, ...) → extraction rows.
 
@@ -137,7 +138,23 @@ def extract_pages(
     pipelines that keep no instance payloads (SPO-only) must prune
     here, not downstream; it cuts the Arrow transfer and every
     downstream shuffle payload by ~5x.
+
+    ``dedup_sentences=True`` switches to the distinct-sentence plan:
+    JVM-side sentence split → ``distinct()`` → CPython NLP once per
+    DISTINCT sentence → hash-join the extractions back onto every
+    (url, sent_id) occurrence. Two shuffles instead of zero, but the
+    Python stage — the pipeline's cost center at any scale — runs
+    once per distinct sentence instead of once per occurrence. Web
+    corpora are boilerplate-heavy (navigation chrome, legal footers
+    repeat across a site's every page), so at 100 TB the distinct
+    ratio is the win; the reference re-extracts every occurrence
+    (``ScoobiReVerb.scala:62-107``) and pays OpenNLP per duplicate.
+    Output is row-identical to the direct path (pytest-gated): the
+    NLP is sentence-deterministic and provenance (url, sent_id)
+    survives on the occurrence side of the join.
     """
+    if dedup_sentences:
+        return _extract_pages_deduped(pages, lang, text_col, include_layers)
     src = (
         pages.filter(F.col("lang") == lang)
         .select(
@@ -150,6 +167,103 @@ def extract_pages(
     )
     fn, schema = _make_extract_batches(include_layers)
     return src.mapInPandas(fn, schema)
+
+
+def _trim_ws(col):
+    return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+
+
+def sentence_occurrences(
+    pages: DataFrame, lang: str = "en", text_col: str = "text"
+) -> DataFrame:
+    """(url, sent_id, sentence) — sentence split as a pure JVM
+    expression chain (split/trim/filter/posexplode). The Java regex is
+    byte-identical to ``chunker._SENT_SPLIT`` and the trim/drop-empty
+    steps mirror ``chunker.split_sentences``; a pytest fuzzes equality
+    over every sf0.01 document. ``sent_id`` is the sentence's position
+    within its page AFTER empty-drop, matching the direct path's
+    ``enumerate``."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    chunker._SENT_SPLIT.pattern),
+            lambda x: _trim_ws(x),
+        ),
+        lambda x: x != "",
+    )
+    return (
+        pages.filter(F.col("lang") == lang)
+        .select("url", F.posexplode(sents).alias("sent_id", "sentence"))
+    )
+
+
+def _make_distinct_extract_batches(include_layers: bool):
+    schema = EXTRACTION_SCHEMA if include_layers else SLIM_SCHEMA
+    fields = [f for f in schema.fields if f.name not in ("url", "sent_id")]
+    out_schema = StructType(
+        [StructField("sent_key", StringType(), False)] + fields
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, sent in zip(pdf["sent_key"], pdf["sentence"]):
+                toks, tags, chks = chunker.chunk_sentence(sent)
+                for e in reverb.extract(toks, tags, chks):
+                    (a1s, a1e), (rs, re_), (a2s, a2e) = e.arg1, e.rel, e.arg2
+                    seg = lambda s, t: (toks[s:t], tags[s:t])
+                    layers = (toks, tags, chks) if include_layers else ()
+                    rows.append(
+                        (
+                            key, *layers,
+                            a1s, a1e, rs, re_, a2s, a2e,
+                            " ".join(toks[a1s:a1e]),
+                            " ".join(toks[rs:re_]),
+                            " ".join(toks[a2s:a2e]),
+                            stemmer.index_key_part(*seg(a1s, a1e)),
+                            stemmer.index_key_part(*seg(rs, re_)),
+                            stemmer.index_key_part(*seg(a2s, a2e)),
+                            stemmer.frontend_key_part(*seg(a1s, a1e)),
+                            stemmer.frontend_key_part(*seg(rs, re_)),
+                            stemmer.frontend_key_part(*seg(a2s, a2e)),
+                            stemmer.head_phrase(*seg(a1s, a1e)),
+                            stemmer.head_phrase(*seg(a2s, a2e)),
+                            _confidence(toks, tags, chks, e),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _batches, out_schema
+
+
+def _extract_pages_deduped(
+    pages: DataFrame, lang: str, text_col: str, include_layers: bool
+) -> DataFrame:
+    occurrences = sentence_occurrences(pages, lang, text_col).select(
+        "url",
+        F.col("sent_id").cast(LongType()).alias("sent_id"),
+        F.md5(F.col("sentence")).alias("sent_key"),
+        "sentence",
+    )
+    # Repartition AFTER distinct: AQE coalesces post-shuffle partitions
+    # by BYTE size (~64 MB advisory), which under-parallelizes a
+    # CPU-bound Python stage whose cost per byte is ~10^3 higher than a
+    # JVM scan's. One explicit round-robin exchange of the (small)
+    # distinct side keeps every core busy through the NLP stage.
+    spark = pages.sparkSession
+    distinct = (
+        occurrences.select("sent_key", "sentence").distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    fn, nlp_schema = _make_distinct_extract_batches(include_layers)
+    extracted = distinct.mapInPandas(fn, nlp_schema)
+    out_schema = EXTRACTION_SCHEMA if include_layers else SLIM_SCHEMA
+    return (
+        occurrences.drop("sentence")
+        .join(extracted, "sent_key")
+        .select(*[f.name for f in out_schema.fields])
+    )
 
 
 def extract_chunked(sentences: DataFrame) -> DataFrame:

@@ -596,3 +596,60 @@ def test_junk_anchor_dim_override(spark):
                       {**_one_anchor_dims(spark, "us"),
                        "dim_junk_anchors": dims2["dim_junk_anchors"]}).first()
     assert got["arg1_entity"] is not None
+
+
+def test_dedup_sentences_extract_row_identical(spark, synth_dir):
+    """The distinct-sentence plan (JVM split -> distinct -> NLP once
+    per distinct sentence -> provenance join) must be row-identical to
+    the direct per-occurrence path — the NLP is sentence-deterministic
+    so only the execution shape differs."""
+    pages = spark.read.parquet(os.path.join(synth_dir, "pages.parquet"))
+    key_cols = ["url", "sent_id", "arg1_start", "rel_start", "arg2_start",
+                "arg1_end", "rel_end", "arg2_end"]
+
+    def rows(df):
+        return sorted(
+            (tuple(r[c] for c in key_cols), r["arg1_norm"], r["rel_norm"],
+             r["arg2_norm"], round(r["confidence"], 9))
+            for r in df.collect()
+        )
+
+    direct = extract_pages(pages, include_layers=False)
+    deduped = extract_pages(pages, include_layers=False,
+                            dedup_sentences=True)
+    assert rows(direct) == rows(deduped)
+    assert [f.name for f in direct.schema.fields] == \
+        [f.name for f in deduped.schema.fields]
+    # the distinct side is genuinely smaller on a duplicate-bearing
+    # corpus: replicate pages 3x -> distinct sentence count unchanged
+    from openie_backend_spark.operators.extract import sentence_occurrences
+    tripled = pages.unionAll(pages).unionAll(pages)
+    occ = sentence_occurrences(tripled)
+    assert occ.count() == 3 * sentence_occurrences(pages).count()
+    n_distinct = occ.select("sentence").distinct().count()
+    assert n_distinct == (sentence_occurrences(pages)
+                          .select("sentence").distinct().count())
+    trip_rows = rows(extract_pages(tripled, include_layers=False,
+                                   dedup_sentences=True))
+    assert len(trip_rows) == 3 * len(rows(direct))
+
+
+def test_jvm_sentence_split_parity(spark):
+    """sentence_occurrences' JVM regex split must equal
+    chunker.split_sentences on real corpus text (same pattern string;
+    this pins the Java-vs-Python regex semantics)."""
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(sf):
+        pytest.skip("testdata not present")
+    from openie_backend_spark.nlp import chunker
+    from openie_backend_spark.operators.extract import sentence_occurrences
+    docs = spark.read.parquet(sf).select(
+        F.col("doc_id").alias("url"), F.col("text"),
+        F.lit("en").alias("lang"))
+    got = {}
+    for r in sentence_occurrences(docs).collect():
+        got.setdefault(r["url"], []).append((r["sent_id"], r["sentence"]))
+    for r in docs.collect():
+        want = chunker.split_sentences(r["text"])
+        have = [s for _, s in sorted(got.get(r["url"], []))]
+        assert have == want, r["url"]
