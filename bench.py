@@ -59,6 +59,34 @@ def tree_cpu_seconds() -> float:
     return total
 
 
+_CGROUP_CPU_FILES = (
+    ("/sys/fs/cgroup/cpuacct/cpuacct.usage", 1e9),       # v1: nanoseconds
+    ("/sys/fs/cgroup/cpu.stat", 1e6),                    # v2: usage_usec
+    ("/sys/fs/cgroup/unified/cpu.stat", 1e6),            # hybrid mount
+)
+
+
+def cgroup_cpu_seconds() -> float | None:
+    """Container-wide CPU seconds from the cgroup controller — the
+    monotonic complement to `tree_cpu_seconds`: dead/orphaned pyspark
+    workers stay counted (the tree walk can LOSE a live worker's CPU
+    when its daemon dies before reaping it → negative deltas), at the
+    cost of including the VM's background processes (~2 % here)."""
+    for path, scale in _CGROUP_CPU_FILES:
+        try:
+            with open(path) as fh:
+                txt = fh.read()
+        except OSError:
+            continue
+        if path.endswith("cpu.stat"):
+            for line in txt.splitlines():
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) / scale
+            continue
+        return int(txt.strip()) / scale
+    return None
+
+
 def _tagger_label() -> str:
     from openie_backend_spark.nlp import perceptron
 
@@ -95,14 +123,21 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) 
     ]
     timings: dict[str, float] = {}
     cpu: dict[str, float] = {}
+    cg: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in suite:
         t0 = time.time()
         c0 = tree_cpu_seconds()
+        g0 = cgroup_cpu_seconds()
         df = qs[name](spark, sf_dir)
         n = df.count()
         dt = time.time() - t0
-        cpu[name] = round(tree_cpu_seconds() - c0, 3)
+        # floored at 0: the tree walk loses a worker's lifetime CPU if
+        # its daemon dies unreaped mid-query; cgroup_cpu carries the
+        # monotonic truth alongside
+        cpu[name] = round(max(tree_cpu_seconds() - c0, 0.0), 3)
+        if g0 is not None:
+            cg[name] = round(cgroup_cpu_seconds() - g0, 3)
         timings[name] = round(dt, 3)
         if name == "kg_spo":
             extras["kg_triples"] = n
@@ -120,6 +155,8 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = True) 
         "queries": timings,
         "cpu_seconds": cpu,
         "cpu_total": round(sum(cpu.values()), 3),
+        **({"cgroup_cpu_seconds": cg,
+            "cgroup_cpu_total": round(sum(cg.values()), 3)} if cg else {}),
         # derived from what actually loads, not the env var: with model
         # files absent get_tagger() falls back to the rule path and the
         # record must say so (ADVICE r4)

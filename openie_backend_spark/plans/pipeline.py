@@ -117,9 +117,15 @@ class Pipeline:
         dims: dict[str, DataFrame] | None = None,
         corpus: str = "cc",
         run_typer: bool = False,
+        dedup_sentences: bool = False,
     ) -> dict[str, DataFrame]:
+        # dedup_sentences: run the NLP once per DISTINCT sentence and
+        # join provenance back — row-identical output, CPU ∝ distinct
+        # ratio. Enable for boilerplate-heavy corpora (SCALE.md §2).
         extractions = self.stage(
-            "extractions", lambda: extract.extract_pages(pages)
+            "extractions",
+            lambda: extract.extract_pages(
+                pages, dedup_sentences=dedup_sentences),
         )
         filtered = self.stage(
             "extractions_filtered",

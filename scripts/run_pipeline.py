@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="work/output dir")
     ap.add_argument("--corpus", default="cc")
     ap.add_argument("--typer", action="store_true", help="run the G6-G9 typer")
+    ap.add_argument("--dedup-sentences", action="store_true",
+                    help="NLP once per distinct sentence (SCALE.md \u00a72)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,7 +52,8 @@ def main() -> None:
             for p in glob.glob(os.path.join(args.dims, "dim_*.parquet"))
         }
     pipe = Pipeline(spark, args.out)
-    out = pipe.run(pages, dims, corpus=args.corpus, run_typer=args.typer)
+    out = pipe.run(pages, dims, corpus=args.corpus, run_typer=args.typer,
+                   dedup_sentences=args.dedup_sentences)
     summary = {
         "stages": [
             {"name": r.name, "rows": r.rows, "partitions": r.partitions,
