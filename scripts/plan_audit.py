@@ -161,6 +161,34 @@ def main():
         ("probe explode present (multi-probe)", r"explode\(array\(bucket", True),
     ])
 
+    # 13. Distinct-sentence extraction (round 5): the CPython NLP stage
+    # must sit ABOVE the distinct aggregate (runs once per distinct
+    # sentence), with the explicit round-robin repartition countering
+    # AQE's byte-size coalescing, and the provenance join an equality
+    # hash join on the md5 key
+    from pyspark.sql import functions as F
+    from openie_backend_spark.operators.extract import extract_pages
+    ded_pages = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("url"), "text",
+        F.lit("en").alias("lang"))
+    ded = extract_pages(ded_pages, include_layers=False,
+                        dedup_sentences=True)
+    audit("extract_dedup_sentences", ded, [
+        ("distinct aggregate on the sentence key",
+         r"Keys \[2\]: \[sent_key", True),
+        ("explicit repartition before the NLP stage",
+         r"RoundRobinPartitioning", True),
+        ("provenance join is an equality join",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("Python stage present exactly once", r"MapInPandas", True),
+    ])
+    ded_plan = plan_of(ded)
+    n_py = len(re.findall(r"\(\d+\) MapInPandas", ded_plan))
+    checks.append(("extract_dedup_sentences",
+                   f"MapInPandas nodes = {n_py} (NLP fused once)", n_py == 1))
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:
