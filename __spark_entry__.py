@@ -31,16 +31,33 @@ from openie_backend_spark.operators.materialize import spo_table
 
 def _prune_stale_workdirs(prefix: str, keep: str, max_age_s: int = 3600) -> None:
     """Remove pid-suffixed oracle workdirs left by dead harness runs.
-    Age-guarded so a live concurrent run (a different pid, recent
-    mtime) is never raced — the ADVICE-r4 concurrent-clobber fix keeps
-    per-pid isolation; this keeps /tmp bounded."""
+    Liveness comes from the pid suffix, not the directory mtime: POSIX
+    dir mtime does not advance on nested writes, so a long-lived
+    concurrent run's top-level dir can look hours old while its
+    checkpoints are hot. A dir whose pid is still alive is never
+    touched; a dead pid's dir is reclaimed immediately (pid reuse just
+    defers cleanup to the next pass). Non-pid-suffixed dirs (older
+    layouts) fall back to the mtime age gate."""
     import glob
     import shutil
     import time
 
     for old in glob.glob(prefix + "*"):
+        if old == keep:
+            continue
+        suffix = old.rsplit(".", 1)[-1]
+        if suffix.isdigit():
+            try:
+                os.kill(int(suffix), 0)
+                continue  # owner still running — never race it
+            except ProcessLookupError:
+                pass  # dead owner: safe to reclaim now
+            except PermissionError:
+                continue  # someone else's live process
+            shutil.rmtree(old, ignore_errors=True)
+            continue
         try:
-            if old != keep and time.time() - os.path.getmtime(old) > max_age_s:
+            if time.time() - os.path.getmtime(old) > max_age_s:
                 shutil.rmtree(old, ignore_errors=True)
         except OSError:
             pass

@@ -21,7 +21,20 @@ import re
 
 from openie_backend_spark.nlp.tag_lexicon import TAG_LEXICON
 
-_SENT_SPLIT = re.compile(r"(?<=[.!?])[\s ]+(?=[A-Z\"'(0-9])")
+# The exact character set Python's \\s / str.strip() treat as
+# whitespace, spelled out so the JVM regexes in operators/extract.py
+# match Python semantics char-for-char: Java's \\s is ASCII-only (the
+# literal NBSP previously patched the most common HTML case, but thin
+# spaces, U+2028/29 and the U+001C-1F separators still split on one
+# path and not the other). A pytest asserts this class stays equal to
+# Python's \\s over all codepoints.
+_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+_WS_CLASS = "[" + _WS_CHARS + "]"
+_SENT_SPLIT = re.compile(rf"(?<=[.!?]){_WS_CLASS}+(?=[A-Z\"'(0-9])")
 _TOKEN = re.compile(
     r"n't|'s|'re|'ve|'ll|'d|'m|[A-Za-z]+(?:[-.][A-Za-z]+)*\.?|\$|[0-9][0-9,.%-]*|[^\sA-Za-z0-9]"
 )
@@ -166,6 +179,28 @@ _WH_WORDS = frozenset({"who", "which", "whom", "whose"})
 _FINITE_TAGS = frozenset({"VBD", "VBZ", "VBP", "MD"})
 
 
+def skip_appositive_commas(tokens: list[str], j: int) -> int:
+    """Extend a candidate clause-closing comma at ``j`` across commas
+    that are internal to the clause: a short (1-3 token) run of
+    capitalized tokens between this comma and the next one is a
+    place-name / appositive continuation ("born in Sandringham ,
+    England ,"), not a matrix resumption. Surface-only, shared with
+    nary._comma_brackets so tagging and extraction bracket the same
+    span. Returns the extended closing-comma index (== ``j`` when no
+    extension applies)."""
+    n = len(tokens)
+    while j < n - 1:
+        k, run = j + 1, 0
+        while k < n and run < 3 and tokens[k] != "," \
+                and tokens[k][:1].isupper():
+            k, run = k + 1, run + 1
+        if run >= 1 and k < n and tokens[k] == ",":
+            j = k
+        else:
+            break
+    return j
+
+
 def _wh_bracket_spans(tokens: list[str]) -> list[tuple[int, int]]:
     """Inclusive spans ``[i, j]`` of non-restrictive relative clauses
     ``, who/which/whom/whose <body> ,`` whose closing comma is not
@@ -178,6 +213,8 @@ def _wh_bracket_spans(tokens: list[str]) -> list[tuple[int, int]]:
             j = i + 2
             while j < n and tokens[j] != ",":
                 j += 1
+            if j < n:
+                j = skip_appositive_commas(tokens, j)
             if j < n - 1:
                 spans.append((i, j))
                 i = j + 1

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from openie_backend_spark.nlp import reverb
+from openie_backend_spark.nlp import chunker, reverb
 
 # relational/title nouns that mediate a relation between two NPs
 RELATIONAL_NOUNS = frozenset(
@@ -128,6 +128,10 @@ def _comma_brackets(tokens, pos, chunks):
         close = next((j for j in range(i + 2, n) if tokens[j] == ","), None)
         if close is None:
             continue
+        # clause-internal place-name commas ("born in Sandringham ,
+        # England ,") do not close the bracket — same surface rule as
+        # the tagger's relclause splice, so both bracket the same span
+        close = chunker.skip_appositive_commas(tokens, close)
         # an APPOSITIVE bracket is a verbless NP description; a span
         # containing a verb phrase is a clause ("In March , the company
         # hired Jane Doe , analysts said") — not an appositive, and

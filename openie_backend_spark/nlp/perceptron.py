@@ -421,7 +421,8 @@ class PerceptronChunker(_AveragedPerceptron):
         for _, pos, chunks in sentences:
             tagset.update(chunks)
             for p, c in zip(pos, chunks):
-                pos_chunks.setdefault(p, {})[c] = pos_chunks.get(p, {}).get(c, 0) + 1
+                row = pos_chunks.setdefault(p, {})
+                row[c] = row.get(c, 0) + 1
         # coverage-pruned dict (round 5): keep the most frequent chunk
         # tags per POS until 99.9% of its training occurrences are
         # covered — the dropped tail is annotation noise (NNP observed

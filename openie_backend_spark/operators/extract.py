@@ -26,6 +26,7 @@ from typing import Iterator
 
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -170,7 +171,12 @@ def extract_pages(
 
 
 def _trim_ws(col):
-    return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+    # chunker._WS_CLASS, not \s: Java's \s is ASCII-only, Python's is
+    # Unicode — the explicit class keeps the JVM trim char-identical
+    # to str.strip() (NBSP / thin-space / U+2028 in scraped HTML).
+    ws = chunker._WS_CLASS
+    return F.regexp_replace(F.regexp_replace(col, "^" + ws + "+", ""),
+                            ws + "+$", "")
 
 
 def sentence_occurrences(
@@ -240,12 +246,18 @@ def _make_distinct_extract_batches(include_layers: bool):
 def _extract_pages_deduped(
     pages: DataFrame, lang: str, text_col: str, include_layers: bool
 ) -> DataFrame:
+    # persist: the DAG branches here (distinct side and provenance
+    # side both consume occurrences), and without a persist Spark
+    # recomputes the full pages scan + regex split + md5 once PER
+    # BRANCH — at corpus scale that doubles the scan. One
+    # MEMORY_AND_DISK materialization (~input-sized, spills to local
+    # disk) is the cheaper side of that trade.
     occurrences = sentence_occurrences(pages, lang, text_col).select(
         "url",
         F.col("sent_id").cast(LongType()).alias("sent_id"),
         F.md5(F.col("sentence")).alias("sent_key"),
         "sentence",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Repartition AFTER distinct: AQE coalesces post-shuffle partitions
     # by BYTE size (~64 MB advisory), which under-parallelizes a
     # CPU-bound Python stage whose cost per byte is ~10^3 higher than a

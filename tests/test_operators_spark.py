@@ -653,3 +653,75 @@ def test_jvm_sentence_split_parity(spark):
         want = chunker.split_sentences(r["text"])
         have = [s for _, s in sorted(got.get(r["url"], []))]
         assert have == want, r["url"]
+
+
+def test_jvm_split_parity_unicode_whitespace(spark):
+    """The JVM split/trim must agree with Python on NON-ASCII
+    whitespace: Java's \\s is ASCII-only, so the explicit _WS_CLASS is
+    what keeps NBSP / thin-space / U+2028 / U+001C-separated sentences
+    splitting identically on both paths (review finding, round 5)."""
+    from openie_backend_spark.nlp import chunker
+    from openie_backend_spark.operators.extract import sentence_occurrences
+
+    texts = [
+        "Alice won the prize.\xa0Bob lost the bet.",        # NBSP
+        "It rained.\u2009Then it stopped.",                 # thin space
+        "One ended.\u2028Two began.",                       # LS
+        "A happened.\u2029\u2029B followed.",              # PS run
+        "X shipped.\x1c\x1dY paused.",                     # FS/GS
+        "\xa0\u3000Lead trimmed. Tail trimmed too.\u202f", # trim ends
+        "Mix one.\xa0 \u2009Mix two.\t\u2028Mix three.", # mixed runs
+        "No split here,\xa0just a clause.",                 # no [.!?] before
+    ]
+    rows = [(f"u{i}", t, "en") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["url", "text", "lang"])
+    got = {}
+    for r in sentence_occurrences(docs).collect():
+        got.setdefault(r["url"], []).append((r["sent_id"], r["sentence"]))
+    for i, t in enumerate(texts):
+        want = chunker.split_sentences(t)
+        have = [s for _, s in sorted(got.get(f"u{i}", []))]
+        assert have == want, (t, have, want)
+
+
+def test_ws_class_equals_python_whitespace():
+    """_WS_CHARS must stay exactly Python's \\s set — the JVM regexes
+    are built from it, so drift would silently fork the two paths."""
+    import re as _re
+    from openie_backend_spark.nlp import chunker
+
+    explicit = set(chunker._WS_CHARS)
+    python_ws = {chr(c) for c in range(0x110000) if _re.match(r"\s", chr(c))}
+    assert explicit == python_ws
+    strip_ws = {chr(c) for c in range(0x110000)
+                if ("a" + chr(c)).strip() == "a"}
+    assert explicit == strip_ws
+
+
+def test_relclause_bracket_spans_internal_comma():
+    """', who was born in Sandringham , England ,' — the place-name
+    comma is clause-internal; the bracket must close at the comma
+    after 'England', so matrix re-tagging sees 'Diana died in 1997 .'
+    and not the ungrammatical 'Diana England , died in 1997 .'"""
+    from openie_backend_spark.nlp import chunker, nary
+
+    toks = ("Diana , who was born in Sandringham , England , "
+            "died in 1997 .").split()
+    spans = chunker._wh_bracket_spans(toks)
+    assert spans == [(1, 9)]  # comma before 'who' .. comma after 'England'
+    matrix = [k for k in range(len(toks))
+              if not any(i <= k <= j for i, j in spans)]
+    assert [toks[k] for k in matrix] == ["Diana", "died", "in", "1997", "."]
+    # multi-token run ('New Jersey') and the non-extension case: a
+    # lowercase continuation means the matrix really resumes there
+    toks2 = ("Bob , who lives in Newark , New Jersey , retired .").split()
+    assert chunker._wh_bracket_spans(toks2) == [(1, 9)]
+    toks3 = ("Bob , who lives in Paris , Mary said , laughing .").split()
+    assert chunker._wh_bracket_spans(toks3) == [(1, 6)]
+    # nary's bracket close must extend identically (shared helper)
+    pos = ["NNP", ",", "WP", "VBD", "VBN", "IN", "NNP", ",", "NNP", ",",
+           "VBD", "IN", "CD", "."]
+    chunks = ["B-NP", "O", "B-NP", "B-VP", "I-VP", "B-PP", "B-NP", "O",
+              "B-NP", "O", "B-VP", "B-PP", "B-NP", "O"]
+    brackets = nary._comma_brackets(toks, pos, chunks)
+    assert [(o, c) for _, o, c in brackets] == [(1, 9)]
