@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from openie_backend_spark.functions import text as T
+from openie_backend_spark.functions import web as WB
 from openie_backend_spark.operators import dedup as D
 from openie_backend_spark.operators import multimodal as MM
 from openie_backend_spark.operators import similarity as SIM
@@ -286,6 +287,107 @@ def _txt_quality(spark, sf):
 def _txt_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", T.fingerprint("text", 5).alias("fingerprint"))
+
+
+def _txt_repetition(spark, sf):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) — pure
+    codegen, no shuffle; the bigram scan is capped at REP_GRAM_CAP."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.distinct_word_ratio("text").alias("distinct_word_ratio"),
+        T.top_bigram_frac("text").alias("top_bigram_frac"),
+        T.dup_bigram_frac("text").alias("dup_bigram_frac"),
+    )
+
+
+def _pii_planted_text():
+    """Deterministic PII planted per doc (the synthetic corpus carries
+    none): one email, one US phone, one IPv4, then a text prefix. The
+    SAME arithmetic is inlined in the oracle SQL so both engines mask
+    identical strings."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("Contact user"), s(did), F.lit("@mail"), s(did % 5),
+        F.lit(".example.com or call 555-"), s(did % 900 + 100),
+        F.lit("-"), s(did % 9000 + 1000),
+        F.lit(" from 10.0."), s(did % 256), F.lit(".7 re: "),
+        F.substring("text", 1, 160),
+    )
+
+
+_PII_PLANT_SQL = (
+    "'Contact user' || doc_id || '@mail' || (doc_id % 5)"
+    " || '.example.com or call 555-' || (doc_id % 900 + 100)"
+    " || '-' || (doc_id % 9000 + 1000)"
+    " || ' from 10.0.' || (doc_id % 256) || '.7 re: '"
+    " || substr(text, 1, 160)"
+)
+
+
+def _web_pii_mask(spark, sf):
+    """PII scrub over web text: typed placeholder masking + per-category
+    counts (functions/web.pii_mask). Row-local regexp chain, zero
+    shuffle."""
+    d = _t(spark, sf, "documents")
+    planted = d.select("doc_id", _pii_planted_text().alias("t"))
+    return planted.select(
+        "doc_id",
+        *WB.pii_counts("t"),
+        F.md5(WB.pii_mask("t")).alias("masked_md5"),
+    )
+
+
+def _url_planted():
+    """Deterministic messy absolute URL per doc: uppercase scheme/host,
+    default port on evens, trailing slash on multiples of 3, two
+    tracking params, a fragment. Mirrored verbatim in the oracle SQL."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"), s(did % 7), F.lit(".COM"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Dir"), s(did % 5),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), s(did % 11),
+        F.lit("&utm_medium=m"), s(did % 4),
+        F.lit("#sec"), s(did % 3),
+    )
+
+
+_URL_PLANT_SQL = (
+    "'HTTPS://WWW.Site' || (doc_id % 7) || '.COM'"
+    " || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)"
+    " || '/Dir' || (doc_id % 5)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)"
+    " || '?utm_source=feed&id=' || (doc_id % 11)"
+    " || '&utm_medium=m' || (doc_id % 4)"
+    " || '#sec' || (doc_id % 3)"
+)
+
+
+def _web_url_canon(spark, sf):
+    """URL canonicalization + collapse: the planted port/slash/fragment/
+    utm variants of the same logical URL group to one canonical row.
+    Per-row regexp chain, then one groupBy on the canonical string."""
+    d = _t(spark, sf, "documents")
+    u = d.select("doc_id", _url_planted().alias("url"))
+    canon = u.select(
+        "doc_id",
+        WB.url_canonicalize("url").alias("canon_url"),
+        WB.url_host("url").alias("host"),
+    )
+    return canon.groupBy("canon_url", "host").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+def _dedup_lines(spark, sf):
+    """CCNet-style line-level inter-document dedup (12-word pseudo-lines
+    — the synthetic corpus is single-line; real web text uses the
+    newline mode of the same operator)."""
+    return D.duplicate_lines(_t(spark, sf, "documents"), chunk_words=12)
 
 
 # ---- dedup family over documents ----
@@ -1121,12 +1223,78 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_distinct": _set_union_distinct,
         "q_conjunctive_topk": _q_conjunctive_topk,
         "w_t1_events_top2": _w_t1_events_top2,
+        # round-5 additions (window is frozen, so these live here):
+        "txt_repetition": _txt_repetition,
+        "web_pii_mask": _web_pii_mask,
+        "web_url_canon": _web_url_canon,
+        "dedup_lines": _dedup_lines,
     }
 
 
 # ---------------------------------------------------------- oracle SQL
 
 _WS = r"'\s+'"
+
+
+def _sql_regexp_chain(expr: str, steps) -> str:
+    """Nested DuckDB regexp_replace chain over (pattern, replacement)
+    steps — the SAME tuples the Spark column functions consume
+    (functions/web.py), so the two engines cannot drift. Plain
+    concatenation (not f-strings): the patterns contain ``{m,n}``
+    quantifiers."""
+    for pat, rep in steps:
+        expr = "regexp_replace(" + expr + ", '" + pat + "', '" + rep + "', 'g')"
+    return expr
+
+
+def _pii_oracle_sql() -> str:
+    """Staged CTE mirror of functions/web.pii_counts + pii_mask:
+    counts on the progressively-masked text, in PII_STEPS order."""
+    from openie_backend_spark.functions.web import PII_STEPS
+
+    (_, e_pat, e_rep), (_, i_pat, i_rep), (_, p_pat, p_rep) = PII_STEPS
+    return (
+        "WITH planted AS (SELECT doc_id, " + _PII_PLANT_SQL + " AS t FROM documents),\n"
+        "s1 AS (SELECT doc_id,\n"
+        "       len(regexp_extract_all(t, '" + e_pat + "')) AS n_email,\n"
+        "       regexp_replace(t, '" + e_pat + "', '" + e_rep + "', 'g') AS t1 FROM planted),\n"
+        "s2 AS (SELECT doc_id, n_email,\n"
+        "       len(regexp_extract_all(t1, '" + i_pat + "')) AS n_ipv4,\n"
+        "       regexp_replace(t1, '" + i_pat + "', '" + i_rep + "', 'g') AS t2 FROM s1)\n"
+        "SELECT doc_id, n_email, n_ipv4,\n"
+        "       len(regexp_extract_all(t2, '" + p_pat + "')) AS n_phone,\n"
+        "       md5(regexp_replace(t2, '" + p_pat + "', '" + p_rep + "', 'g')) AS masked_md5\n"
+        "FROM s2"
+    )
+
+
+def _url_canon_oracle_sql() -> str:
+    """Mirror of functions/web.url_canonicalize + url_host over the
+    planted URL: shared step chain, then scheme/host lowering."""
+    from openie_backend_spark.functions.web import URL_CANON_STEPS
+
+    chain = _sql_regexp_chain("u", URL_CANON_STEPS)
+    scheme = r"lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host0 = (
+        r"regexp_replace(lower(regexp_extract(c, "
+        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(?:80|443)$', '', 'g')"
+    )
+    rest = r"regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    raw_host = (
+        r"regexp_replace(lower(regexp_extract(u, "
+        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':\d+$', '', 'g')"
+    )
+    return (
+        "WITH raw AS (SELECT doc_id, " + _URL_PLANT_SQL + " AS u FROM documents),\n"
+        "c0 AS (SELECT doc_id, u, " + chain + " AS c FROM raw),\n"
+        "canon AS (SELECT doc_id,\n"
+        "    CASE WHEN " + scheme + " = '' THEN c\n"
+        "         ELSE " + scheme + " || '://' || " + host0 + " || " + rest + " END AS canon_url,\n"
+        "    " + raw_host + " AS host\n"
+        "  FROM c0)\n"
+        "SELECT canon_url, host, count(*) AS n_docs, min(doc_id) AS first_doc\n"
+        "FROM canon GROUP BY 1, 2"
+    )
 
 _SHINGLES3 = (
     "list_sort(list_distinct(list_transform("
@@ -1449,6 +1617,46 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": f"""
             SELECT doc_id, list_min(list_transform({_SHINGLES5}, g -> md5(g))) AS fingerprint
             FROM documents
+        """,
+        "txt_repetition": f"""
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), {_WS}) AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id, w,
+                       (CASE WHEN len(w) >= 2
+                             THEN list_transform(range(1, len(w)),
+                                                 i -> array_to_string(w[i:i+1], ' '))[1:512]
+                             ELSE CAST([] AS VARCHAR[]) END) AS bg
+                FROM ws
+            )
+            SELECT doc_id,
+                   round(len(list_distinct(w)) / greatest(len(w), 1), 4) AS distinct_word_ratio,
+                   round(coalesce(list_max(list_transform(list_distinct(bg),
+                                  x -> len(list_filter(bg, y -> y = x)))), 0)
+                         / greatest(len(bg), 1), 4) AS top_bigram_frac,
+                   (CASE WHEN len(bg) = 0 THEN 0.0
+                         ELSE round(1.0 - len(list_distinct(bg)) / len(bg), 4) END) AS dup_bigram_frac
+            FROM g
+        """,
+        "web_pii_mask": _pii_oracle_sql(),
+        "web_url_canon": _url_canon_oracle_sql(),
+        "dedup_lines": f"""
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), {_WS}) AS w
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, trim(l) AS line FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(CAST(ceil(len(w)/12.0) AS INT), 1) + 1),
+                               i -> array_to_string(w[((i-1)*12+1):((i-1)*12+12)], ' '))) AS l
+                    FROM ws) t
+                WHERE length(trim(l)) > 0
+            )
+            SELECT md5(line) AS line_md5, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+            FROM lines GROUP BY 1 HAVING count(*) >= 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count

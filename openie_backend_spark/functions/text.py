@@ -96,11 +96,23 @@ def quality_score(col: str | Column) -> Column:
     return F.round(len_ok + wl_ok + stop_ok + 0.25 * alpha_ratio, 4)
 
 
-def shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, sorted (deterministic)."""
-    ws = words(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """All word n-grams of a words array, EMPTY for arrays shorter than
+    n. The guard matters: ``sequence(1, 0)`` in Spark is the DESCENDING
+    [1, 0], so an unguarded index sequence feeds ``slice`` a 0 start
+    and crashes on every document of fewer than n words — real web
+    corpora are full of those."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, sorted (deterministic); empty
+    array for documents of fewer than n words."""
+    grams = _word_ngrams(words(col), n)
     return F.array_sort(F.array_distinct(grams))
 
 
@@ -111,6 +123,54 @@ def fingerprint(col: str | Column, n: int = 5) -> Column:
     grams = shingles(col, n)
     hashed = F.transform(grams, lambda g: F.md5(g))
     return F.array_min(hashed)
+
+
+# Repetition signals are computed over the first REP_GRAM_CAP word
+# n-grams only: the in-array frequency count below is O(distinct ×
+# total) per document, so the cap turns a 100k-token outlier page from
+# an O(10^10) expression into a constant ≤ 512² — the same
+# deterministic-prefix concession ``max_shingles`` makes in the dedup
+# family. Gopher computes the signal over the full document; on the
+# capped prefix the signal is an estimate (disclosed, mirrored in the
+# oracle SQL).
+REP_GRAM_CAP = 512
+
+
+def _capped_bigrams(col: str | Column) -> Column:
+    """Non-distinct word 2-grams, first REP_GRAM_CAP only (empty array
+    for documents of fewer than two words)."""
+    return F.slice(_word_ngrams(words(col), 2), 1, REP_GRAM_CAP)
+
+
+def distinct_word_ratio(col: str | Column) -> Column:
+    """|distinct words| / |words| — the cheapest repetition signal
+    (low-ratio pages are listings/boilerplate). 1.0 for empty text."""
+    ws = words(col)
+    return F.round(
+        F.size(F.array_distinct(ws)) / F.greatest(F.size(ws), F.lit(1)), 4
+    )
+
+
+def top_bigram_frac(col: str | Column) -> Column:
+    """Fraction of (capped) word bigrams covered by the single most
+    frequent bigram — the Gopher ``top-2-gram fraction`` repetition
+    rule (Rae et al. 2021 §A1.1). 0.0 when the document has no bigram."""
+    grams = _capped_bigrams(col)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    return F.round(top / F.greatest(F.size(grams), F.lit(1)), 4)
+
+
+def dup_bigram_frac(col: str | Column) -> Column:
+    """Fraction of (capped) bigram occurrences beyond their first —
+    1 − |distinct|/|total| — the Gopher ``duplicate n-gram fraction``
+    family. 0.0 when the document has no bigram."""
+    grams = _capped_bigrams(col)
+    frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    return F.round(F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(frac), 4)
 
 
 # HTML boilerplate stripping: (pattern, replacement) pairs applied in
