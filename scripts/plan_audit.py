@@ -189,6 +189,38 @@ def main():
     checks.append(("extract_dedup_sentences",
                    f"MapInPandas nodes = {n_py} (NLP fused once)", n_py == 1))
 
+    # 14. Web-text hygiene family (round 5): repetition/PII are pure
+    # per-row codegen (no shuffle, no Python); URL canon and line dedup
+    # each do exactly ONE hash exchange (their groupBy)
+    xq = entry.extra_queries()
+    audit("txt_repetition", xq["txt_repetition"](spark, sf_dir), [
+        ("no shuffle (per-row array expressions)",
+         r"Arguments: hashpartitioning", False),
+        ("no Python UDF in plan", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    audit("web_pii_mask", xq["web_pii_mask"](spark, sf_dir), [
+        ("no shuffle (per-row regexp chain)",
+         r"Arguments: hashpartitioning", False),
+        ("no Python UDF in plan", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    # url canon: ONE exchange (its groupBy). line dedup: exactly TWO —
+    # the unavoidable cost of exact n_docs, taken as two-level agg
+    # (fine key then line key) instead of Spark's 2×-row Expand plan
+    # for count+count_distinct in one aggregate.
+    for q, want_ex in (("web_url_canon", 1), ("dedup_lines", 2)):
+        df = xq[q](spark, sf_dir)
+        p = plan_of(df)
+        n_ex = len(re.findall(r"Arguments: hashpartitioning", p))
+        checks.append((q, f"hash exchanges = {n_ex} ({want_ex} expected)",
+                       n_ex == want_ex))
+        checks.append((q, "map-side partial aggregation before the exchange",
+                       bool(re.search(r"partial_count|partial_min", p))))
+        checks.append((q, "no 2x Expand node for distinct aggregation",
+                       not re.search(r"\(\d+\) Expand", p)))
+        checks.append((q, "no Python UDF in plan",
+                       not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p)))
+        sections.append((q, p, []))
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:
