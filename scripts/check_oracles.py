@@ -60,6 +60,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Bind the kg mirror oracles to the SAME sf dir the Spark side reads;
+    # without this, running at sf0.001 compares Spark-on-sf0.001 against
+    # mirror-on-sf0.01 (oracle_sql() defaults SPARK_GRAFT_ORACLE_SF to
+    # sf0.01, matching the driver) and kg_extractions/groups/spo mismatch.
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", sf_dir)
+
     import __spark_entry__ as entrymod
     from openie_backend_spark.session import get_spark
 
