@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from openie_backend_spark.functions import text as T
 from openie_backend_spark.functions import web as WB
+from openie_backend_spark.operators import curation as CU
 from openie_backend_spark.operators import dedup as D
 from openie_backend_spark.operators import multimodal as MM
 from openie_backend_spark.operators import similarity as SIM
@@ -388,6 +389,63 @@ def _dedup_lines(spark, sf):
     — the synthetic corpus is single-line; real web text uses the
     newline mode of the same operator)."""
     return D.duplicate_lines(_t(spark, sf, "documents"), chunk_words=12)
+
+
+def _web_decontaminate(spark, sf):
+    """Benchmark decontamination (5-gram overlap): flag corpus docs
+    sharing a shingle with an eval set. The benchmark is planted
+    deterministically — an internal 200-char span of every doc whose
+    md5(doc_id) starts with '0' — simulating an eval set leaked from
+    the corpus; flagged rows are those source docs plus true near-dups.
+    The benchmark side is broadcast; the corpus is never shuffled."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select(F.substring("text", 41, 200).alias("text"))
+    return CU.contaminated_docs(d, bench, n=5, max_shingles=512)
+
+
+def _pack_sequences(spark, sf):
+    """Deterministic concat-then-chunk sequence packing into
+    1024-token packs across 8 md5-salt buckets; doc-level assignment
+    rows so the oracle hashes every placement decision."""
+    return CU.pack_sequences(
+        _t(spark, sf, "documents"), max_tokens=1024, n_buckets=8
+    )
+
+
+def _web_host_stats(spark, sf):
+    """Domain-level curation stats (RefinedWeb-style host filtering
+    needs per-host aggregates): docs, distinct canonical URLs, and
+    token volume per host of the planted URL. One groupBy on host;
+    integer columns only so the value hash is float-free."""
+    d = _t(spark, sf, "documents")
+    u = d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        _url_planted().alias("url"),
+    )
+    canon = u.select(
+        "doc_id",
+        "n_tokens",
+        WB.url_canonicalize("url").alias("canon_url"),
+        WB.url_host("url").alias("host"),
+    )
+    # two-level aggregate (host,url) → host instead of count(*) +
+    # count(DISTINCT) in one agg: sidesteps Spark's 2×-row Expand plan
+    # for mixed distinct aggregates (same move as dedup_lines), keeps
+    # every stage map-side combinable
+    per_url = canon.groupBy("host", "canon_url").agg(
+        F.count(F.lit(1)).alias("n_docs_u"),
+        F.sum("n_tokens").alias("sum_tokens_u"),
+        F.min("doc_id").alias("first_doc_u"),
+    )
+    return per_url.groupBy("host").agg(
+        F.sum("n_docs_u").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("sum_tokens_u").alias("sum_tokens"),
+        F.min("first_doc_u").alias("first_doc"),
+    )
 
 
 # ---- dedup family over documents ----
@@ -1228,6 +1286,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pii_mask": _web_pii_mask,
         "web_url_canon": _web_url_canon,
         "dedup_lines": _dedup_lines,
+        "web_decontaminate": _web_decontaminate,
+        "pack_sequences": _pack_sequences,
+        "web_host_stats": _web_host_stats,
     }
 
 
@@ -1296,6 +1357,40 @@ def _url_canon_oracle_sql() -> str:
         "FROM canon GROUP BY 1, 2"
     )
 
+def _host_stats_oracle_sql() -> str:
+    """Mirror of _web_host_stats: the url_canonicalize/url_host step
+    chain of _url_canon_oracle_sql plus whitespace token counts, one
+    GROUP BY host (all-integer measures, float-free hash)."""
+    from openie_backend_spark.functions.web import URL_CANON_STEPS
+
+    chain = _sql_regexp_chain("u", URL_CANON_STEPS)
+    scheme = r"lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host0 = (
+        r"regexp_replace(lower(regexp_extract(c, "
+        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(?:80|443)$', '', 'g')"
+    )
+    rest = r"regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    raw_host = (
+        r"regexp_replace(lower(regexp_extract(u, "
+        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':\d+$', '', 'g')"
+    )
+    return (
+        "WITH raw AS (SELECT doc_id,\n"
+        "    CASE WHEN length(trim(text)) = 0 THEN 0\n"
+        "         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,\n"
+        "    " + _URL_PLANT_SQL + " AS u FROM documents),\n"
+        "c0 AS (SELECT doc_id, n_tokens, u, " + chain + " AS c FROM raw),\n"
+        "canon AS (SELECT doc_id, n_tokens,\n"
+        "    CASE WHEN " + scheme + " = '' THEN c\n"
+        "         ELSE " + scheme + " || '://' || " + host0 + " || " + rest + " END AS canon_url,\n"
+        "    " + raw_host + " AS host\n"
+        "  FROM c0)\n"
+        "SELECT host, count(*) AS n_docs, count(DISTINCT canon_url) AS n_urls,\n"
+        "       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc\n"
+        "FROM canon GROUP BY 1"
+    )
+
+
 _SHINGLES3 = (
     "list_sort(list_distinct(list_transform("
     "  range(1, greatest(len(regexp_split_to_array(trim(lower(text)), {ws})) - 1, 1)),"
@@ -1303,12 +1398,20 @@ _SHINGLES3 = (
     ")))"
 ).format(ws=_WS)
 
-_SHINGLES5 = (
-    "list_sort(list_distinct(list_transform("
-    "  range(1, greatest(len(regexp_split_to_array(trim(lower(text)), {ws})) - 3, 1)),"
-    "  i -> array_to_string(regexp_split_to_array(trim(lower(text)), {ws})[i:i+4], ' ')"
-    ")))"
-).format(ws=_WS)
+def _shingles5_over(expr: str) -> str:
+    """DuckDB mirror of functions/text.shingles(expr, 5) over an
+    arbitrary text expression (distinct sorted word 5-grams; DuckDB
+    list slices are INCLUSIVE so [i:i+4] is five tokens)."""
+    w = f"regexp_split_to_array(trim(lower({expr})), {_WS})"
+    return (
+        "list_sort(list_distinct(list_transform("
+        f"  range(1, greatest(len({w}) - 3, 1)),"
+        f"  i -> array_to_string({w}[i:i+4], ' ')"
+        ")))"
+    )
+
+
+_SHINGLES5 = _shingles5_over("text")
 
 # Banded-LSH candidate pairs with the star-cap (mirror of
 # operators/dedup.minhash_lsh_pairs with max_full_bucket=64): buckets
@@ -1658,6 +1761,43 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
             FROM lines GROUP BY 1 HAVING count(*) >= 2
         """,
+        "web_decontaminate": f"""
+            WITH bench AS (
+                SELECT substr(text, 41, 200) AS btext FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+            ), bsh AS (
+                SELECT DISTINCT unnest({_shingles5_over('btext')}[1:512]) AS gram
+                FROM bench
+            ), dsh AS (
+                SELECT doc_id, {_SHINGLES5}[1:512] AS sh FROM documents
+            ), dex AS (
+                SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS gram
+                FROM dsh WHERE len(sh) > 0
+            )
+            SELECT doc_id, n_shingles, count(*) AS n_hits,
+                   CAST(floor(10000.0 * count(*) / n_shingles) AS INT)
+                       AS contamination_bp
+            FROM dex JOIN bsh USING (gram) GROUP BY 1, 2
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                           AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS k,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS BIGINT) % 8 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, bucket,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY k, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 1024.0) AS INT) AS pack_id
+            FROM t
+        """,
+        "web_host_stats": _host_stats_oracle_sql(),
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY 1

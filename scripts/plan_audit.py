@@ -221,6 +221,42 @@ def main():
                        not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p)))
         sections.append((q, p, []))
 
+    # 15. Corpus-curation family (round 5): decontamination broadcasts
+    # the benchmark side and never shuffles the corpus before the probe
+    # join; packing is ONE exchange (the salt-bucket window); host
+    # stats is the two-level agg (no Expand), two exchanges
+    audit("web_decontaminate", xq["web_decontaminate"](spark, sf_dir), [
+        ("benchmark side broadcast-joined", r"BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("no Python UDF in plan", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    dec_plan = plan_of(xq["web_decontaminate"](spark, sf_dir))
+    n_ex = len(re.findall(r"Arguments: hashpartitioning", dec_plan))
+    checks.append(("web_decontaminate",
+                   f"hash exchanges = {n_ex} (2 expected: benchmark-side "
+                   "distinct + per-doc hit aggregate; the corpus probe side "
+                   "never shuffles)", n_ex == 2))
+    audit("pack_sequences", xq["pack_sequences"](spark, sf_dir), [
+        ("running-total window over the salt bucket", r"\(\d+\) Window", True),
+        ("no Python UDF in plan", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+    ])
+    pk_plan = plan_of(xq["pack_sequences"](spark, sf_dir))
+    n_ex = len(re.findall(r"Arguments: hashpartitioning", pk_plan))
+    checks.append(("pack_sequences",
+                   f"hash exchanges = {n_ex} (1 expected: the bucket window)",
+                   n_ex == 1))
+    hs_plan = plan_of(xq["web_host_stats"](spark, sf_dir))
+    n_ex = len(re.findall(r"Arguments: hashpartitioning", hs_plan))
+    checks.append(("web_host_stats",
+                   f"hash exchanges = {n_ex} (2 expected: (host,url) then host)",
+                   n_ex == 2))
+    checks.append(("web_host_stats", "no 2x Expand node for distinct aggregation",
+                   not re.search(r"\(\d+\) Expand", hs_plan)))
+    checks.append(("web_host_stats", "map-side partial aggregation",
+                   bool(re.search(r"partial_count|partial_min", hs_plan))))
+    sections.append(("web_host_stats", hs_plan, []))
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:
