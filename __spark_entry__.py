@@ -479,9 +479,10 @@ def _dedup_simhash_banded(spark, sf):
     candidates, exact-Hamming rerank <= 1 (dedup.simhash_banded_pairs; the
     synth corpus's tiny vocabulary saturates 16-bit simhash, so the
     demo threshold is 1 — production would use 64 bits, Hamming 3).
-    The oracle re-derives from exhaustive signature pairs — valid
-    because Hamming <= 3 over 4 bands ALWAYS shares a band, so the
-    banded candidate set provably loses nothing below `bands`."""
+    The oracle mirrors the capped banded candidate set itself
+    (_capped_pairs_sql): at 4-bit bands the 64-cap BINDS at sandbox
+    scale, so candidate generation — including chain order — is part
+    of the checked contract, NOT re-derived from exhaustive pairs."""
     return D.simhash_banded_pairs(_t(spark, sf, "documents"), bits=16,
                                   bands=4, max_hamming=1)
 
@@ -1329,51 +1330,58 @@ def _pii_oracle_sql() -> str:
     )
 
 
+# Shared SQL mirror fragments of functions/web.url_canonicalize /
+# url_host, used by BOTH _url_canon_oracle_sql and
+# _host_stats_oracle_sql (hoisted so a semantics fix cannot silently
+# fork the two oracles). `c` is the step-chained URL, `u` the raw one.
+_SQL_SCHEME = r"lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+_SQL_HOST_LOWER = (
+    r"lower(regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+)
+# only the scheme's OWN default port is redundant (http:80 / https:443)
+_SQL_CANON_HOST = (
+    "(CASE WHEN " + _SQL_SCHEME + " = 'http' THEN regexp_replace("
+    + _SQL_HOST_LOWER + ", ':80$', '', 'g')"
+    " WHEN " + _SQL_SCHEME + " = 'https' THEN regexp_replace("
+    + _SQL_HOST_LOWER + ", ':443$', '', 'g')"
+    " ELSE " + _SQL_HOST_LOWER + " END)"
+)
+_SQL_REST = r"regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+_SQL_RAW_HOST = (
+    r"regexp_replace(lower(regexp_extract(u, "
+    r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':\d+$', '', 'g')"
+)
+_SQL_CANON_URL = (
+    "CASE WHEN " + _SQL_SCHEME + " = '' THEN c\n"
+    "         ELSE " + _SQL_SCHEME + " || '://' || " + _SQL_CANON_HOST
+    + " || " + _SQL_REST + " END"
+)
+
+
 def _url_canon_oracle_sql() -> str:
     """Mirror of functions/web.url_canonicalize + url_host over the
     planted URL: shared step chain, then scheme/host lowering."""
     from openie_backend_spark.functions.web import URL_CANON_STEPS
 
     chain = _sql_regexp_chain("u", URL_CANON_STEPS)
-    scheme = r"lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    host0 = (
-        r"regexp_replace(lower(regexp_extract(c, "
-        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(?:80|443)$', '', 'g')"
-    )
-    rest = r"regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
-    raw_host = (
-        r"regexp_replace(lower(regexp_extract(u, "
-        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':\d+$', '', 'g')"
-    )
     return (
         "WITH raw AS (SELECT doc_id, " + _URL_PLANT_SQL + " AS u FROM documents),\n"
         "c0 AS (SELECT doc_id, u, " + chain + " AS c FROM raw),\n"
         "canon AS (SELECT doc_id,\n"
-        "    CASE WHEN " + scheme + " = '' THEN c\n"
-        "         ELSE " + scheme + " || '://' || " + host0 + " || " + rest + " END AS canon_url,\n"
-        "    " + raw_host + " AS host\n"
+        "    " + _SQL_CANON_URL + " AS canon_url,\n"
+        "    " + _SQL_RAW_HOST + " AS host\n"
         "  FROM c0)\n"
         "SELECT canon_url, host, count(*) AS n_docs, min(doc_id) AS first_doc\n"
         "FROM canon GROUP BY 1, 2"
     )
 
 def _host_stats_oracle_sql() -> str:
-    """Mirror of _web_host_stats: the url_canonicalize/url_host step
-    chain of _url_canon_oracle_sql plus whitespace token counts, one
-    GROUP BY host (all-integer measures, float-free hash)."""
+    """Mirror of _web_host_stats: the SAME hoisted canon-URL fragments
+    as _url_canon_oracle_sql plus whitespace token counts, one GROUP BY
+    host (all-integer measures, float-free hash)."""
     from openie_backend_spark.functions.web import URL_CANON_STEPS
 
     chain = _sql_regexp_chain("u", URL_CANON_STEPS)
-    scheme = r"lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    host0 = (
-        r"regexp_replace(lower(regexp_extract(c, "
-        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(?:80|443)$', '', 'g')"
-    )
-    rest = r"regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
-    raw_host = (
-        r"regexp_replace(lower(regexp_extract(u, "
-        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':\d+$', '', 'g')"
-    )
     return (
         "WITH raw AS (SELECT doc_id,\n"
         "    CASE WHEN length(trim(text)) = 0 THEN 0\n"
@@ -1381,9 +1389,8 @@ def _host_stats_oracle_sql() -> str:
         "    " + _URL_PLANT_SQL + " AS u FROM documents),\n"
         "c0 AS (SELECT doc_id, n_tokens, u, " + chain + " AS c FROM raw),\n"
         "canon AS (SELECT doc_id, n_tokens,\n"
-        "    CASE WHEN " + scheme + " = '' THEN c\n"
-        "         ELSE " + scheme + " || '://' || " + host0 + " || " + rest + " END AS canon_url,\n"
-        "    " + raw_host + " AS host\n"
+        "    " + _SQL_CANON_URL + " AS canon_url,\n"
+        "    " + _SQL_RAW_HOST + " AS host\n"
         "  FROM c0)\n"
         "SELECT host, count(*) AS n_docs, count(DISTINCT canon_url) AS n_urls,\n"
         "       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc\n"
@@ -1416,6 +1423,46 @@ _SHINGLES5 = _shingles5_over("text")
 # Banded-LSH candidate pairs with the star-cap (mirror of
 # operators/dedup.minhash_lsh_pairs with max_full_bucket=64): buckets
 # over the cap emit representative→member star pairs, not all pairs.
+def _capped_pairs_sql(src: str, id_col: str = "doc_id", cap: int = 64) -> str:
+    """Mirror of dedup.bucketed_pairs (star-of-groups cap): ``src`` is
+    a CTE name exposing (``id_col``, ord, band_idx, band_key). In-cap
+    buckets emit all pairs from the (ord, id)-sorted member list;
+    over-cap buckets emit per-member star pairs — member → its ord
+    group's min-id rep, group rep → the bucket's (ord, id)-first
+    member — identical semantics to the Spark helper, including the
+    least/greatest doc_a<doc_b normalization."""
+    return f"""
+            annotated_{src} AS (
+                SELECT band_idx, band_key, ord AS o, {id_col} AS i,
+                       count(*) OVER (PARTITION BY band_idx, band_key) AS n,
+                       min({id_col}) OVER (PARTITION BY band_idx, band_key, ord) AS grp_rep,
+                       min(struct_pack(o := ord, i := {id_col}))
+                           OVER (PARTITION BY band_idx, band_key) AS frst
+                FROM {src}
+            ), buckets_{src} AS (
+                SELECT band_idx, band_key,
+                       list_sort(list(struct_pack(o := o, i := i))
+                                 FILTER (WHERE n <= {cap})) AS ms,
+                       list(struct_pack(
+                           a := least(CASE WHEN i <> grp_rep THEN grp_rep
+                                           ELSE frst.i END, i),
+                           b := greatest(CASE WHEN i <> grp_rep THEN grp_rep
+                                              ELSE frst.i END, i)))
+                         FILTER (WHERE n > {cap}
+                                 AND NOT (i = grp_rep AND i = frst.i)) AS caps
+                FROM annotated_{src} GROUP BY 1, 2
+            ), expanded_{src} AS (
+                SELECT coalesce(flatten(list_transform(range(1, len(ms)), j ->
+                           list_transform(ms[j+1:len(ms)], m ->
+                               struct_pack(a := least(ms[j].i, m.i),
+                                           b := greatest(ms[j].i, m.i))))), []) ||
+                       coalesce(caps, []) AS ps
+                FROM buckets_{src}
+            ), un_{src} AS (SELECT unnest(ps) AS p FROM expanded_{src}),
+            pairs_{src} AS (SELECT DISTINCT p.a AS doc_a, p.b AS doc_b FROM un_{src})
+    """
+
+
 _MINHASH_PAIRS_SQL = f"""
             WITH sigs AS (
                 SELECT doc_id, {_SHINGLES3}[1:512] AS sh FROM documents
@@ -1425,26 +1472,11 @@ _MINHASH_PAIRS_SQL = f"""
                         FOR j IN [0,1,2,3,4,5,6,7]] AS sig
                 FROM sigs WHERE len(sh) > 0
             ), bands AS (
-                SELECT doc_id, b AS band_idx,
+                SELECT doc_id, array_to_string(sig, ',') AS ord, b AS band_idx,
                        md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
                 FROM mh, (SELECT unnest([0,1,2,3]) AS b)
-            ), bsize AS (
-                SELECT band_idx, band_key, count(*) AS n, min(doc_id) AS rep
-                FROM bands GROUP BY 1, 2
-            ), allp AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM bands a
-                JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                            AND a.doc_id < b.doc_id
-                JOIN bsize s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
-                WHERE s.n <= 64
-                UNION
-                SELECT s.rep AS doc_a, x.doc_id AS doc_b
-                FROM bands x
-                JOIN bsize s ON s.band_idx = x.band_idx AND s.band_key = x.band_key
-                WHERE s.n > 64 AND x.doc_id <> s.rep
-            )
-            SELECT DISTINCT doc_a, doc_b FROM allp
+            ), {_capped_pairs_sql('bands')}
+            SELECT doc_a, doc_b FROM pairs_bands
 """
 
 
@@ -1472,31 +1504,14 @@ def _embedding_neardup_sql(threshold: float, n_planes: int = 32, bands: int = 4)
         ), bb AS (
             SELECT vec_id, v, nrm, ({bitexpr}) AS bits FROM b WHERE nrm > 0
         ), banded AS (
-            SELECT vec_id, band_idx,
+            SELECT vec_id, bits AS ord, band_idx,
                    substr(bits, band_idx * {rpb} + 1, {rpb}) AS band_key
             FROM bb, (SELECT unnest([{band_list}]) AS band_idx)
-        ), bsize AS (
-            -- star-cap mirror of dedup.bucketed_pairs(max_full_bucket=64)
-            SELECT band_idx, band_key, count(*) AS n, min(vec_id) AS rep
-            FROM banded GROUP BY 1, 2
-        ), cand0 AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM banded a JOIN banded b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.vec_id < b.vec_id
-            JOIN bsize s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
-            WHERE s.n <= 64
-            UNION
-            SELECT s.rep, x.vec_id
-            FROM banded x
-            JOIN bsize s ON s.band_idx = x.band_idx AND s.band_key = x.band_key
-            WHERE s.n > 64 AND x.vec_id <> s.rep
-        ), cand AS (
-            SELECT DISTINCT vec_a, vec_b FROM cand0
-        )
-        SELECT c.vec_a, c.vec_b,
+        ), {_capped_pairs_sql('banded', id_col='vec_id')}
+        SELECT c.doc_a AS vec_a, c.doc_b AS vec_b,
                round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
-        FROM cand c JOIN bb x ON x.vec_id = c.vec_a JOIN bb y ON y.vec_id = c.vec_b
+        FROM pairs_banded c
+        JOIN bb x ON x.vec_id = c.doc_a JOIN bb y ON y.vec_id = c.doc_b
         WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= {threshold}
     """
 
@@ -1841,29 +1856,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_banded": (
             "WITH sig AS (" + simhash_select + """),
             banded AS (
-                SELECT doc_id, b AS band_idx,
-                       (simhash >> (b * 4)) & 15 AS band_val
+                SELECT doc_id, simhash AS ord, b AS band_idx,
+                       (simhash >> (b * 4)) & 15 AS band_key
                 FROM sig, (SELECT unnest([0,1,2,3]) AS b)
-            ), bsize AS (
-                SELECT band_idx, band_val, count(*) AS n, min(doc_id) AS rep
-                FROM banded GROUP BY 1, 2
-            ), cand AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM banded a
-                JOIN banded b ON a.band_idx = b.band_idx
-                             AND a.band_val = b.band_val
-                             AND a.doc_id < b.doc_id
-                JOIN bsize s ON s.band_idx = a.band_idx AND s.band_val = a.band_val
-                WHERE s.n <= 64
-                UNION
-                SELECT s.rep, x.doc_id
-                FROM banded x
-                JOIN bsize s ON s.band_idx = x.band_idx AND s.band_val = x.band_val
-                WHERE s.n > 64 AND x.doc_id <> s.rep
-            ), cd AS (SELECT DISTINCT doc_a, doc_b FROM cand)
+            ), """ + _capped_pairs_sql("banded") + """
             SELECT c.doc_a, c.doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM cd c
+            FROM pairs_banded c
             JOIN sig a ON a.doc_id = c.doc_a
             JOIN sig b ON b.doc_id = c.doc_b
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1

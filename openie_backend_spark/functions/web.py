@@ -100,7 +100,13 @@ def url_canonicalize(col: str | Column) -> Column:
         c = F.regexp_replace(c, pat, rep)
     scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(c, _HOST_RE, 1))
-    host = F.regexp_replace(host, r":(?:80|443)$", "")
+    # only the scheme's OWN default port is redundant: http on :443 is
+    # a different origin than http on :80 and must not collapse
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
     rest = F.regexp_extract(c, _REST_RE, 1)
     return F.when(scheme == "", c).otherwise(
         F.concat(scheme, F.lit("://"), host, rest)

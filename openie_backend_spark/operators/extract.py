@@ -243,21 +243,38 @@ def _make_distinct_extract_batches(include_layers: bool):
     return _batches, out_schema
 
 
+# The last occurrences DataFrame persisted by _extract_pages_deduped:
+# released before the next call pins a new one, so a long-lived session
+# (pipeline reruns, test suites) holds at most ONE input-sized cached
+# copy instead of accumulating one per call (review r5). Unpersisting
+# a DataFrame another in-flight plan still references is safe — Spark
+# recomputes evicted blocks — so a rare concurrent second caller costs
+# recompute, never correctness.
+_LAST_PERSISTED: DataFrame | None = None
+
+
 def _extract_pages_deduped(
     pages: DataFrame, lang: str, text_col: str, include_layers: bool
 ) -> DataFrame:
+    global _LAST_PERSISTED
     # persist: the DAG branches here (distinct side and provenance
     # side both consume occurrences), and without a persist Spark
     # recomputes the full pages scan + regex split + md5 once PER
     # BRANCH — at corpus scale that doubles the scan. One
     # MEMORY_AND_DISK materialization (~input-sized, spills to local
     # disk) is the cheaper side of that trade.
+    if _LAST_PERSISTED is not None:
+        try:
+            _LAST_PERSISTED.unpersist(blocking=False)
+        except Exception:
+            pass  # session may be gone; nothing to release then
     occurrences = sentence_occurrences(pages, lang, text_col).select(
         "url",
         F.col("sent_id").cast(LongType()).alias("sent_id"),
         F.md5(F.col("sentence")).alias("sent_key"),
         "sentence",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_PERSISTED = occurrences
     # Repartition AFTER distinct: AQE coalesces post-shuffle partitions
     # by BYTE size (~64 MB advisory), which under-parallelizes a
     # CPU-bound Python stage whose cost per byte is ~10^3 higher than a

@@ -1,7 +1,7 @@
-"""Star-cap growth evidence for the two round-5-capped banded paths
+"""Cap-growth evidence for the two round-5-capped banded paths
 (VERDICT r4 #2 'Done' criterion): plant 100-member duplicate clusters
-and show emitted-pair growth is LINEAR in cluster count under the cap
-(representative→member stars) where the uncapped join is quadratic.
+and show emitted-pair growth is LINEAR in cluster count under the
+star-of-groups cap where the uncapped join is quadratic.
 
 Writes a markdown section appended to BENCH/NEARDUP.md.
 
@@ -69,13 +69,16 @@ def main() -> None:
 
     section = f"""
 
-## Round 5: star-cap shared with banded SimHash + embedding near-dup
+## Round 5: star-of-groups cap shared with banded SimHash + embedding near-dup
 
 Planted k clusters of 100 identical members each (every cluster over
 the `max_full_bucket=64` cap, the boilerplate regime). Under the cap a
-cluster emits its 99 representative→member star pairs instead of 4950
-— emitted pairs grow LINEARLY in cluster count; the uncapped join is
-quadratic per cluster:
+cluster emits its 99 star-of-groups pairs (member → identical-signature
+group rep, group rep → bucket-first) instead of 4950 — emitted pairs
+grow LINEARLY in cluster count; the uncapped join is quadratic per
+cluster. Within-group edges join identical signatures, so downstream
+exact reranks keep every planted cluster intact
+(`test_group_star_cap_survives_exact_rerank`):
 
 | corpus | simhash-banded pairs (capped) | sec | embedding pairs (capped) | sec |
 |---|---|---|---|---|
@@ -84,9 +87,9 @@ quadratic per cluster:
 Uncapped reference (10×100 docs): {sh_unc} simhash pairs
 ({sh_unc // 10} per cluster, quadratic) in {t_unc:.2f}s vs the capped
 row's linear 99/cluster. (Identical clusters can share 16-bit band
-values, so capped totals can exceed k×99 by cross-cluster star pairs
+values, so capped totals can exceed k×99 by cross-group rep pairs
 — bounded by the same cap; exact per-path counts are pinned by
-`tests/test_operators_spark.py::test_banded_pairs_star_cap_is_linear`.)
+`tests/test_operators_spark.py::test_banded_pairs_cap_is_linear`.)
 Connectivity for `dup_clusters` labeling survives the cap (same test:
 one component, min-id label).
 """

@@ -133,13 +133,15 @@ def main():
     ])
 
     # 10. Banded SimHash (round 5): candidates via the shared
-    # bucketed_pairs star-cap path — ONE bucket groupBy on the band
-    # key (no band self-join at all), id-equality joins only for the
-    # Hamming rerank, no cartesian, no Python
+    # bucketed_pairs star-of-groups path — ONE exchange on the band
+    # key serves window + bucket aggregate (no band self-join at all),
+    # and the banded rows CARRY the signature (emit_order), so the
+    # Hamming rerank is a per-pair bit_count with NO join whatsoever
     audit("dedup_simhash_banded", qs["dedup_simhash_banded"](spark, sf_dir), [
         ("no cartesian signature scan", r"CartesianProduct", False),
-        ("bucket groupBy on the band key", r"hashpartitioning\(band_idx", True),
-        ("id-equality rerank join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("bucket exchange on the band key", r"hashpartitioning\(band_idx", True),
+        ("no join at all (signature carried through the bucket rows)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False),
         ("no Python in the signature path",
          r"BatchEvalPython|ArrowEvalPython", False),
     ])

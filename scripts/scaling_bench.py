@@ -337,11 +337,15 @@ def write_report(pairs, n, mult, sf_dir, mh_eff, base_docs):
     # windows, BENCH/AB_TAGGER.md), so the only selection-free number
     # is the median over every pair ever measured, storms included.
     gate_n = int(os.environ.get("SPARK_GRAFT_GATE_N", "2"))
-    gate_grp = by_n.get(gate_n, pairs)
+    # no silent fallback to the current run's pairs: mislabeling
+    # non-gate-config data as the pooled gate headline is run selection
+    # (review r5). An empty gate group renders as n/a instead.
+    gate_grp = by_n.get(gate_n, [])
     gate_raw = _med(p.get("raw_eff") for p in gate_grp)
-    gate_marg = _med(
-        p.get("marg_eff") for p in gate_grp
-        if p.get("marg_eff") is None or p["marg_eff"] < 10)
+    # no outlier exclusion either — the median is already robust, and
+    # a data-dependent cut (the old `marg_eff < 10` filter) contradicts
+    # the "zero run selection" banner the report prints
+    gate_marg = _med(p.get("marg_eff") for p in gate_grp)
     gate_norm = _med(p.get("norm_eff") for p in gate_grp)
     gate_ratios = [p["cpu_ratio"] for p in gate_grp if p.get("cpu_ratio")]
     gate_cpu = _med(gate_ratios) if gate_ratios else None
@@ -353,10 +357,7 @@ def write_report(pairs, n, mult, sf_dir, mh_eff, base_docs):
     for n_cfg in sorted(by_n):
         grp = by_n[n_cfg]
         pr = _med(p.get("raw_eff") for p in grp)
-        pm = _med(
-            p.get("marg_eff") for p in grp
-            if p.get("marg_eff") is None or p["marg_eff"] < 10
-        )
+        pm = _med(p.get("marg_eff") for p in grp)  # no outlier cut (review r5)
         pn = _med(p.get("norm_eff") for p in grp)
         pooled_lines.append(
             f"- **{n_cfg}→{4 * n_cfg} cores** ({len(grp)} pairs): raw median "

@@ -492,26 +492,49 @@ def test_two_hop_hub_degree_cap(spark):
     assert {r["hop2"] for r in rows} == {f"d{i:03d}" for i in range(10)}
 
 
-def test_banded_pairs_star_cap_is_linear(spark):
-    """The shared star-cap (dedup.bucketed_pairs) must make pair growth
-    linear, not quadratic, on a planted identical-content cluster —
-    for BOTH previously-uncapped paths (VERDICT r4 #2)."""
+def test_banded_pairs_cap_is_linear(spark):
+    """The shared star-of-groups cap (dedup.bucketed_pairs) must make
+    pair growth linear, not quadratic, on a planted identical-content
+    cluster — for BOTH previously-uncapped paths (VERDICT r4 #2)."""
     docs = spark.createDataFrame(
         [(i, "the same boilerplate page text repeated here") for i in range(40)],
         "doc_id long, text string")
-    star = D.simhash_banded_pairs(docs, max_hamming=None, max_full_bucket=16)
-    assert star.count() == 39  # representative -> member stars
+    capped = D.simhash_banded_pairs(docs, max_hamming=None, max_full_bucket=16)
+    assert capped.count() == 39  # one identical-sig group: star onto its rep
     full = D.simhash_banded_pairs(docs, max_hamming=None, max_full_bucket=None)
     assert full.count() == 40 * 39 // 2
 
     vecs = spark.createDataFrame(
         [(i, [1.0] * 64) for i in range(40)], "vec_id long, embedding array<double>")
-    vstar = D.embedding_neardup_pairs(vecs, threshold=0.0, max_full_bucket=16)
-    assert vstar.count() == 39
+    vcap = D.embedding_neardup_pairs(vecs, threshold=0.0, max_full_bucket=16)
+    assert vcap.count() == 39
     # star pairs keep the cluster connected: one component, min-id label
-    labels = D.dup_clusters(vstar.select(
+    labels = D.dup_clusters(vcap.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")))
     assert labels.select("cluster_id").distinct().count() == 1
+
+
+def test_group_star_cap_survives_exact_rerank(spark):
+    """Review r5: the old star-cap lost whole true-dup clusters to the
+    exact rerank when neither member matched the bucket's arbitrary
+    min-id representative. Plant an over-cap bucket of mostly-noise
+    docs plus an identical-content group whose ids are NOT the bucket
+    minimum: the group stars onto its own rep with Hamming-0 edges, so
+    after the rerank it must still be one connected component."""
+    # 30 noise docs (distinct texts) + 6 identical docs with high ids
+    noise = [(i, f"noise page number {i} with filler words alpha beta")
+             for i in range(30)]
+    dups = [(100 + i, "identical duplicated content block for the chain test")
+            for i in range(6)]
+    docs = spark.createDataFrame(noise + dups, "doc_id long, text string")
+    # tiny cap forces EVERY bucket over the cap -> star-of-groups path
+    pairs = D.simhash_banded_pairs(docs, bits=16, bands=4, max_hamming=0,
+                                   max_full_bucket=4)
+    surviving = pairs.filter((F.col("doc_a") >= 100) & (F.col("doc_b") >= 100))
+    labels = D.dup_clusters(surviving)
+    dup_labels = labels.filter(F.col("doc_id") >= 100).collect()
+    assert len(dup_labels) == 6  # every duplicate doc kept an edge
+    assert {r["cluster_id"] for r in dup_labels} == {100}
 
 
 def test_banded_pairs_band_guards():

@@ -99,6 +99,10 @@ URL_CASES = [
     ("relative/path?gclid=z", "relative/path", ""),
     ("https://x.io/?fbclid=1&a=2&b=3", "https://x.io?a=2&b=3", "x.io"),
     ("https://x.io:8080/q", "https://x.io:8080/q", "x.io"),  # non-default port kept in URL
+    # review r5: only the scheme's OWN default port is redundant —
+    # http on :443 (and https on :80) is a distinct origin
+    ("http://cross.org:443/p", "http://cross.org:443/p", "cross.org"),
+    ("https://cross.org:80/p", "https://cross.org:80/p", "cross.org"),
 ]
 
 
