@@ -448,6 +448,28 @@ def _web_host_stats(spark, sf):
     )
 
 
+def _dsir_importance(spark, sf):
+    """DSIR-style importance scores (curation.importance_weights):
+    target distribution = the doc_id%20==0 slice of the corpus, raw =
+    the full corpus; hashed-bigram log-ratio scores in integer
+    milli-nats so the value hash is summation-order-proof."""
+    d = _t(spark, sf, "documents")
+    return CU.importance_weights(
+        d, d.filter(F.col("doc_id") % 20 == 0), n=2, n_buckets=4096
+    )
+
+
+def _host_quota_sample(spark, sf):
+    """Per-host quota sampling (curation.host_quota_sample): at most 3
+    docs per host of the planted URL, exact two-stage salted top-k.
+    The oracle is the SINGLE-window ideal — matching it proves the
+    salted decomposition exact, not just self-consistent."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", _url_planted().alias("url")
+    )
+    return CU.host_quota_sample(d, quota=3, n_salt=8)
+
+
 # ---- dedup family over documents ----
 
 def _dedup_exact(spark, sf):
@@ -1290,6 +1312,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_decontaminate": _web_decontaminate,
         "pack_sequences": _pack_sequences,
         "web_host_stats": _web_host_stats,
+        "dsir_importance": _dsir_importance,
+        "host_quota_sample": _host_quota_sample,
     }
 
 
@@ -1419,6 +1443,56 @@ def _shingles5_over(expr: str) -> str:
 
 
 _SHINGLES5 = _shingles5_over("text")
+
+
+def _shingles2_over(expr: str) -> str:
+    """DuckDB mirror of functions/text.shingles(expr, 2) (distinct
+    sorted word bigrams; DuckDB list slices are INCLUSIVE so [i:i+1]
+    is two tokens, and range(a,b) is half-open so i runs 1..len-1)."""
+    w = f"regexp_split_to_array(trim(lower({expr})), {_WS})"
+    return (
+        "list_sort(list_distinct(list_transform("
+        f"  range(1, greatest(len({w}), 1)),"
+        f"  i -> array_to_string({w}[i:i+1], ' ')"
+        ")))"
+    )
+
+
+def _dsir_oracle_sql(n_buckets: int = 4096) -> str:
+    """Mirror of curation.importance_weights over the doc_id%20==0
+    target slice: md5-prefix bucket hashing, Laplace-smoothed
+    double-ratio, ONE ln per bucket floored to integer milli-nats,
+    integer document sums (summation-order-proof; see the operator
+    docstring)."""
+    b = n_buckets
+    bucket = "CAST(('0x' || substr(md5(gram), 1, 6)) AS BIGINT) % " + str(b)
+    return f"""
+        WITH doc_sh AS (
+            SELECT doc_id, {_shingles2_over('text')}[1:512] AS sh FROM documents
+        ), db AS (
+            SELECT doc_id, {bucket} AS bucket
+            FROM (SELECT doc_id, unnest(sh) AS gram FROM doc_sh)
+        ), tb AS (
+            SELECT {bucket} AS bucket
+            FROM (SELECT unnest(sh) AS gram FROM doc_sh WHERE doc_id % 20 = 0)
+        ), th AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY 1),
+        rh AS (SELECT bucket, count(*) AS cr FROM db GROUP BY 1),
+        tot AS (SELECT (SELECT sum(ct) FROM th) AS nt,
+                       (SELECT sum(cr) FROM rh) AS nr),
+        wts AS (
+            SELECT coalesce(rh.bucket, th.bucket) AS bucket,
+                   CAST(floor(1000.0 * ln(
+                       (CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                        * CAST(nr + {b} AS DOUBLE))
+                       / (CAST(coalesce(cr, 0) + 1 AS DOUBLE)
+                          * CAST(nt + {b} AS DOUBLE))
+                   )) AS BIGINT) AS w
+            FROM rh FULL JOIN th ON rh.bucket = th.bucket, tot
+        )
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(w) AS BIGINT) AS score_milli
+        FROM db JOIN wts USING (bucket) GROUP BY 1
+    """
 
 # Banded-LSH candidate pairs with the star-cap (mirror of
 # operators/dedup.minhash_lsh_pairs with max_full_bucket=64): buckets
@@ -1813,6 +1887,25 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "web_host_stats": _host_stats_oracle_sql(),
+        "dsir_importance": _dsir_oracle_sql(),
+        # single-window ideal: matching the Spark two-stage salted
+        # top-k against THIS proves the decomposition exact
+        "host_quota_sample": f"""
+            WITH t AS (
+                SELECT doc_id, {_URL_PLANT_SQL} AS u FROM documents
+            ), k AS (
+                SELECT doc_id, {_SQL_RAW_HOST} AS host, md5(u) AS sort_key
+                FROM t
+            ), r AS (
+                SELECT doc_id, host,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY sort_key, doc_id)
+                           AS host_rank
+                FROM k
+            )
+            SELECT doc_id, host, CAST(host_rank AS INT) AS host_rank
+            FROM r WHERE host_rank <= 3
+        """,
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY 1

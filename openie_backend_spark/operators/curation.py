@@ -142,3 +142,157 @@ def pack_sequences(
         "bucket",
         F.floor(cum / F.lit(max_tokens)).cast("int").alias("pack_id"),
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    n_buckets: int = 4096,
+    max_shingles: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each raw document by the log-likelihood ratio of its hashed word
+    n-grams under the TARGET distribution vs the RAW distribution —
+    (doc_id, n_grams, score_milli) where ``score_milli`` is the sum of
+    per-bucket log ratios in integer milli-nats.
+
+    Hashing and arithmetic are engine-stable by construction:
+
+    * gram → bucket is md5-prefix mod ``n_buckets`` (byte-identical in
+      Spark and DuckDB, like every hash in this repo — never
+      engine-native hash());
+    * per-bucket weight is ``floor(1000 · ln((ct+1)(Nr+B) /
+      ((cr+1)(Nt+B))))`` — Laplace-smoothed counts, ONE transcendental
+      per bucket, floored to an integer once; document scores are then
+      integer sums, so aggregation order cannot perturb the value hash
+      (float summation is order-dependent; integer summation is not).
+
+    Scale shape: the target side is tiny by construction (a quality
+    reference corpus ~10^4..10^6 docs vs 10^12 raw), so its bucket
+    histogram collapses to ≤ ``n_buckets`` rows. The raw-side
+    histogram is a map-side-combinable groupBy on bucket (≤
+    ``n_buckets`` groups — no skew possible: hot buckets combine
+    before the exchange). Scoring joins the exploded capped doc grams
+    to the ``n_buckets``-row weight dim with an explicit broadcast —
+    the corpus is never shuffled; the only corpus-wide exchange is the
+    final groupBy(doc_id), which AQE coalesces. Per-document fan-out
+    is bounded by ``max_shingles`` (sorted-prefix cap, the same
+    deterministic concession as the dedup family).
+
+    In production the raw histogram comes from a hash-sample of the
+    corpus (a 10^-4 sample estimates 4096 bucket frequencies to ~1%);
+    the estimator here takes ``docs`` as given and leaves sampling to
+    the caller (filters.hash_sample composes).
+    """
+    def grams_of(frame: DataFrame, col: str) -> DataFrame:
+        return frame.select(
+            F.explode(F.slice(shingles(col, n), 1, max_shingles)).alias("gram")
+        )
+
+    def bucket_of(gram_col) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(gram_col), 1, 6), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket")
+
+    t_hist = grams_of(target, target_text_col).select(bucket_of(F.col("gram"))) \
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    r_hist = grams_of(docs, text_col).select(bucket_of(F.col("gram"))) \
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    # totals as 1-row frames crossJoined onto the <=n_buckets dim (a
+    # broadcast scalar attach, same move as link.py's idf norm)
+    n_t = t_hist.agg(F.sum("ct").alias("nt"))
+    n_r = r_hist.agg(F.sum("cr").alias("nr"))
+    weights = (
+        r_hist.join(t_hist, "bucket", "full")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "bucket",
+            # ratio in doubles: long products overflow once gram
+            # totals pass 2^63 / n_buckets (they do at 10^12 docs);
+            # IEEE double multiply/divide round identically in Spark
+            # and DuckDB, so the mirror stays byte-stable
+            F.floor(
+                F.lit(1000.0)
+                * F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                     * (F.col("nr") + n_buckets).cast("double"))
+                    / ((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                       * (F.col("nt") + n_buckets).cast("double"))
+                )
+            ).cast("long").alias("w_milli"),
+        )
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.slice(shingles(text_col, n), 1, max_shingles)).alias("gram"),
+    ).select("doc_id", bucket_of(F.col("gram")))
+    return (
+        doc_grams.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w_milli").alias("score_milli"),
+        )
+    )
+
+
+def host_quota_sample(
+    docs: DataFrame,
+    quota: int = 2,
+    n_salt: int = 16,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus balancing: keep at most ``quota`` documents per web
+    host, chosen in deterministic md5(url) order — (doc_id, host,
+    host_rank). The per-host cap is how web-corpus curation keeps
+    mega-hosts (blogspot, forums, link farms) from dominating the
+    token budget (C4/RefinedWeb-style domain balancing).
+
+    Skew is the whole problem here: a naive ``row_number() OVER
+    (PARTITION BY host)`` puts a 10^9-page host on ONE task. This is
+    the standard exact two-stage top-k instead:
+
+    1. rank within (host, salt) — salt = md5-prefix mod ``n_salt``
+       spreads a hot host over ``n_salt`` tasks; keep ≤ quota rows per
+       salt group;
+    2. re-rank the survivors within host — input is now ≤ n_salt ×
+       quota rows PER HOST no matter how large the host was, so the
+       second window is skew-proof by construction.
+
+    EXACT, not approximate: the global ordering key (md5(url),
+    doc_id) is total, and any row in the host's true top-``quota`` is
+    necessarily in its salt group's top-``quota``, so stage 2 sees
+    every true winner. Size ``n_salt`` to the cluster; output is
+    identical for any ``n_salt`` ≥ 1.
+    """
+    from openie_backend_spark.functions.web import url_host
+
+    key = F.md5(F.col(url_col))
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        url_host(F.col(url_col)).alias("host"),
+        key.alias("sort_key"),
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % n_salt).alias(
+            "salt"
+        ),
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy("sort_key", "doc_id")
+    s1 = (
+        t.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy("host").orderBy("sort_key", "doc_id")
+    return (
+        s1.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= quota)
+        .select("doc_id", "host", "host_rank")
+    )

@@ -5,9 +5,12 @@ The reference restarts jobs by line offset ("tail -n +X",
 ``docs/reverb-cluster-extraction-indexing.txt:92-94``). Here every
 stage is a pure table→table function materialized to parquet
 (Iceberg-shaped: the write path is `.format()`-pluggable) with a
-manifest entry recording row counts, partition counts and per-stage
-wall time. ``run`` skips stages whose manifest entry and output both
-exist — idempotent re-runs, exactly-once semantics per stage.
+manifest entry recording row counts (observed in-flight via
+``Observation`` — no second pass), per-file lineage from parquet
+footers (metadata-only, the Iceberg-manifest shape), and per-stage
+wall time; footer-sum vs observed-count is an integrity tripwire.
+``run`` skips stages whose manifest entry and output both exist —
+idempotent re-runs, exactly-once semantics per stage.
 """
 
 from __future__ import annotations
@@ -18,10 +21,29 @@ import time
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from openie_backend_spark.operators import extract, filters, group, link, materialize
+
+
+def _parquet_file_rows(out_dir: str) -> dict[str, int]:
+    """Per-FILE row counts from parquet footers — metadata-only, no
+    data scan. These are exactly the counts an Iceberg manifest
+    records per data file; with a real Iceberg catalog this whole
+    function is a snapshot-metadata query. Driver-side O(#files)
+    footer reads (a few KB each), never O(rows)."""
+    import pyarrow.parquet as pq
+
+    per: dict[str, int] = {}
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                per[os.path.relpath(p, out_dir)] = pq.ParquetFile(
+                    p
+                ).metadata.num_rows
+    return per
 
 
 @dataclass
@@ -73,37 +95,48 @@ class Pipeline:
             return df
         t0 = time.time()
         df = fn()
-        writer = df.write.format(self.fmt).mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
         if buckets:
             n, col = buckets
             # parquet path has no bucket metastore; emulate with an
             # explicit bucket column so scans can prune on it
             df = df.withColumn("_bucket", materialize.bucket_expr(F.col(col), n))
-            writer = df.write.format(self.fmt).mode("overwrite").partitionBy("_bucket")
+            partition_by = ["_bucket"]
+        # in-flight counters (north rule: per-partition lineage +
+        # counters): Observation collects the row count DURING the
+        # write action — zero extra passes, exactly-once per
+        # successful task. The old shape (re-read the output and
+        # groupBy spark_partition_id) was a full second scan of every
+        # stage's output; at 100 TB that doubles the pipeline's read
+        # volume.
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = df.write.format(self.fmt).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         writer.save(out)
+        observed_rows = int(obs.get["rows"])
         written = self.spark.read.format(self.fmt).load(out)
-        # per-partition lineage: row count per output partition (north
-        # rule: per-partition lineage + counters). One cheap pass over
-        # the materialized output; skew in these counts is the early
-        # warning for a hot key upstream.
-        per_part = [
-            (int(r["pid"]), int(r["cnt"]))
-            for r in written.groupBy(
-                F.spark_partition_id().alias("pid")
-            ).agg(F.count(F.lit(1)).alias("cnt")).collect()
-        ]
-        rows = sum(c for _, c in per_part)
-        parts = len(per_part) or written.rdd.getNumPartitions()
+        # per-file lineage from parquet footers (metadata-only; the
+        # Iceberg-manifest shape). Footer sum vs in-flight observed
+        # count is an end-to-end integrity tripwire: a mismatch means
+        # the sink lost or duplicated rows between the observe node
+        # and the committed files.
+        per_file = _parquet_file_rows(out) if self.fmt == "parquet" else {}
+        rows = sum(per_file.values()) if per_file else observed_rows
+        if per_file and rows != observed_rows:
+            raise RuntimeError(
+                f"stage {name}: observed {observed_rows} rows in-flight "
+                f"but committed files hold {rows} — sink integrity violated"
+            )
+        parts = len(per_file) or written.rdd.getNumPartitions()
         dt = time.time() - t0
         self.manifest[name] = {
             "rows": rows,
             "partitions": parts,
             "seconds": round(dt, 2),
             "ts": time.time(),
-            "per_partition_rows": dict(per_part),
-            "max_partition_rows": max((c for _, c in per_part), default=0),
+            "per_file_rows": per_file,
+            "max_file_rows": max(per_file.values(), default=rows),
         }
         self._save_manifest()
         self.results.append(StageResult(name, rows, parts, dt, False))

@@ -259,6 +259,41 @@ def main():
                    bool(re.search(r"partial_count|partial_min", hs_plan))))
     sections.append(("web_host_stats", hs_plan, []))
 
+    # 16. DSIR importance weighting: the 4096-row weight dim is
+    # broadcast onto the exploded corpus grams; the only corpus-wide
+    # exchange is the final groupBy(doc_id) — the two histogram
+    # exchanges are <=n_buckets rows each (map-side combined)
+    audit("dsir_importance", xq["dsir_importance"](spark, sf_dir), [
+        ("weight dim broadcast-joined", r"BroadcastHashJoin", True),
+        ("no cartesian on the corpus side (scalar totals are "
+         "broadcast nested-loop by design, 1-row inner)",
+         r"CartesianProduct", False),
+        ("no Python UDF in plan", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("map-side partial aggregation", r"partial_count|partial_sum", True),
+    ])
+    # host quota sampling: exactly TWO window nodes (salted then
+    # per-host over <=n_salt*quota survivors) and TWO exchanges —
+    # never one giant per-host window
+    hq = xq["host_quota_sample"](spark, sf_dir)
+    audit("host_quota_sample", hq, [
+        ("two-stage windowed top-k", r"\(\d+\) Window", True),
+        ("no Python UDF in plan", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+    ])
+    hq_plan = plan_of(hq)
+    n_win = len(re.findall(r"\(\d+\) Window\n", hq_plan))
+    checks.append(("host_quota_sample",
+                   f"window nodes = {n_win} (2 expected: (host,salt) rank, "
+                   "then host rank over bounded survivors)", n_win == 2))
+    # rank<=k is pushed below each window as WindowGroupLimit
+    # (partial BEFORE the exchange): map-side top-k pruning, so a hot
+    # host ships <=quota rows per input partition instead of its whole
+    # page set — the plan-level proof of the skew story
+    checks.append(("host_quota_sample",
+                   "WindowGroupLimit pushdown (map-side per-key top-k "
+                   "before the shuffle)",
+                   bool(re.search(r"WindowGroupLimit", hq_plan))))
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:

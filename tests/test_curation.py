@@ -114,3 +114,80 @@ def test_packing_oversized_doc_owns_following_packs(spark):
         assert r["pack_id"] == cum // 50
         cum += r["n_tokens"]
     assert max(r["pack_id"] for r in out) >= 300 // 50 - 1
+
+
+# --------------------------------------------- DSIR importance weights
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    from openie_backend_spark.operators.curation import importance_weights
+
+    # target distribution = cooking text; raw corpus = cooking + spam
+    cooking = "add the fresh basil and stir the tomato sauce gently"
+    spam = "click here buy now cheap pills win money fast casino"
+    corpus = _docs(spark, [
+        (1, cooking),
+        (2, "stir the sauce and add fresh basil to the tomato pan"),
+        (3, spam),
+        (4, "win money fast casino click here buy cheap pills now"),
+    ])
+    target = _docs(spark, [(100, cooking)])
+    got = {r["doc_id"]: r["score_milli"]
+           for r in importance_weights(corpus, target, n=2).collect()}
+    # every cooking doc must outscore every spam doc
+    assert min(got[1], got[2]) > max(got[3], got[4])
+
+
+def test_dsir_scores_are_integer_sums(spark):
+    """score_milli is a LONG (integer milli-nats): the value hash must
+    be immune to aggregation order, so no float column may leak out."""
+    from openie_backend_spark.operators.curation import importance_weights
+
+    corpus = _docs(spark, [(1, "a b c"), (2, "c d e")])
+    out = importance_weights(corpus, corpus, n=2)
+    kinds = dict(out.dtypes)
+    assert kinds["score_milli"] == "bigint"
+    assert kinds["n_grams"] == "bigint"
+
+
+def test_dsir_empty_and_short_docs_drop_out(spark):
+    from openie_backend_spark.operators.curation import importance_weights
+
+    corpus = _docs(spark, [(1, "solo"), (2, ""), (3, "two words")])
+    got = importance_weights(corpus, corpus, n=2).collect()
+    assert {r["doc_id"] for r in got} == {3}  # only doc with a bigram
+
+
+# --------------------------------------------- per-host quota sampling
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, url string")
+
+
+def test_host_quota_caps_every_host(spark):
+    from openie_backend_spark.operators.curation import host_quota_sample
+
+    rows = [(i, f"https://big.example.com/p{i}") for i in range(50)]
+    rows += [(100 + i, f"https://small.org/p{i}") for i in range(2)]
+    out = host_quota_sample(_urls(spark, rows), quota=3, n_salt=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r["host_rank"])
+    assert sorted(by_host["big.example.com"]) == [1, 2, 3]
+    assert sorted(by_host["small.org"]) == [1, 2]
+
+
+def test_host_quota_salt_invariant(spark):
+    """The two-stage salted top-k is EXACT: any n_salt gives the same
+    rows as the single-window ideal (n_salt=1)."""
+    from openie_backend_spark.operators.curation import host_quota_sample
+
+    rows = [(i, f"http://h{i % 3}.net/page/{i * 7 % 13}") for i in range(60)]
+    d = _urls(spark, rows)
+    pick = lambda df: sorted(
+        (r["doc_id"], r["host"], r["host_rank"]) for r in df.collect()
+    )  # noqa: E731
+    ideal = pick(host_quota_sample(d, quota=2, n_salt=1))
+    assert pick(host_quota_sample(d, quota=2, n_salt=4)) == ideal
+    assert pick(host_quota_sample(d, quota=2, n_salt=16)) == ideal
