@@ -840,6 +840,36 @@ def _kg_two_hop(spark, sf):
     )
 
 
+def _kg_degree_stats(spark, sf):
+    """Degree distribution of the KG (materialize.degree_stats): the
+    skew monitor whose tail is the hub set that makes the fan-out caps
+    and salted joins load-bearing."""
+    from openie_backend_spark.operators.materialize import degree_stats, edge_table
+
+    linked, _ = _synth_linked(spark)
+    return degree_stats(edge_table(spo_table(linked)))
+
+
+def _kg_pagerank(spark, sf):
+    """Fixed-iteration PageRank over the KG adjacency list
+    (materialize.pagerank, GraphX convention) — graph-native
+    notability for entities the inlink dim can't cover; oracle is the
+    same three iterations unrolled as DuckDB CTEs."""
+    from openie_backend_spark.operators.materialize import edge_table, pagerank
+
+    linked, _ = _synth_linked(spark)
+    return pagerank(edge_table(spo_table(linked)), iterations=3)
+
+
+def _dedup_clusters_twostar(spark, sf):
+    """Connected components via alternating large-star/small-star
+    (dedup.dup_clusters_twostar) over the same LSH candidate pairs as
+    dedup_clusters — identical labeling contract, O(log n) rounds on
+    any graph shape, same recursive-CTE oracle."""
+    pairs = D.minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+    return D.dup_clusters_twostar(pairs)
+
+
 def _s4_point_lookup(spark, sf):
     """S4: bucketed point reads on BOTH sort orders — materialize the
     synth SPO + OPS tables, look up one subject and one object through
@@ -1314,6 +1344,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_stats": _web_host_stats,
         "dsir_importance": _dsir_importance,
         "host_quota_sample": _host_quota_sample,
+        "dedup_clusters_twostar": _dedup_clusters_twostar,
+        "kg_degree_stats": _kg_degree_stats,
+        "kg_pagerank": _kg_pagerank,
     }
 
 
@@ -1551,6 +1584,27 @@ _MINHASH_PAIRS_SQL = f"""
                 FROM mh, (SELECT unnest([0,1,2,3]) AS b)
             ), {_capped_pairs_sql('bands')}
             SELECT doc_a, doc_b FROM pairs_bands
+"""
+
+# Connected-components ground truth over the MinHash candidate pairs —
+# shared by dedup_clusters (min-label propagation) and
+# dedup_clusters_twostar (alternating large-star/small-star): both
+# implement (doc_id, cluster_id = component minimum).
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+    {_MINHASH_PAIRS_SQL}
+),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
 """
 
 
@@ -1925,22 +1979,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
         """,
-        "dedup_clusters": f"""
-            WITH RECURSIVE pairs AS (
-            {_MINHASH_PAIRS_SQL}
-        ),
-            sym AS (
-                SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION SELECT doc_b, doc_a FROM pairs
-            ),
-            reach AS (
-                SELECT a, b FROM sym
-                UNION
-                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-            )
-            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-            FROM reach GROUP BY a
-        """,
+        "dedup_clusters": _CLUSTERS_SQL,
+        # identical ground truth — twostar and propagation share the
+        # (doc_id, cluster_id = component min) contract by construction
+        "dedup_clusters_twostar": _CLUSTERS_SQL,
         "dedup_simhash": simhash_select,
         # Full mirror of dedup.simhash_banded_pairs incl. the shared
         # star-cap (r4 VERDICT #2): 4-bit bands have only 16 values, so

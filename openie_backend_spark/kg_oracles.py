@@ -281,6 +281,29 @@ def _typed_sql(ext_synth: str, dims: str) -> str:
     )"""
 
 
+def _pagerank_iteration_ctes(n: int) -> str:
+    """Unrolled GraphX-convention PageRank iterations as chained CTEs
+    (mirror of materialize.pagerank's declarative loop): contribution
+    aggregation c{i} then rank refresh r{i}, damping 0.85 over
+    CAST-to-DOUBLE arithmetic so DuckDB doesn't promote to DECIMAL."""
+    parts = []
+    for i in range(1, n + 1):
+        parts.append(f""",
+            c{i} AS (
+                SELECT e.oid AS node, sum(r.rank / deg.d) AS s
+                FROM e JOIN r{i - 1} r ON r.node = e.sid
+                       JOIN deg ON deg.sid = e.sid
+                GROUP BY 1
+            ),
+            r{i} AS (
+                SELECT n.node,
+                       CAST(0.15 AS DOUBLE)
+                       + CAST(0.85 AS DOUBLE) * coalesce(c{i}.s, 0) AS rank
+                FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+            )""")
+    return "".join(parts)
+
+
 def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Materialize mirror inputs and return the kg_* oracle dict."""
     from openie_backend_spark.operators.query import normalize_query_text
@@ -553,6 +576,38 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT src AS subject_id, CAST(count(*) AS BIGINT) AS n_hop2,
                    min(hop2) AS min_hop2, max(hop2) AS max_hop2
             FROM h GROUP BY 1
+        """,
+        "kg_degree_stats": f"""
+            {_linked_sql(ext_synth, dims)},
+            spo AS (
+                SELECT coalesce(arg1_fbid, {node1}) AS sid,
+                       coalesce(arg2_fbid, {node2}) AS oid
+                FROM linked
+            ),
+            -- out side counts triple rows (materialize.edge_table's
+            -- out_degree); in side counts distinct-adjacency entries
+            e AS (SELECT DISTINCT sid, oid FROM spo),
+            outd AS (SELECT sid, count(*) AS degree FROM spo GROUP BY 1),
+            ind  AS (SELECT oid, count(*) AS degree FROM e GROUP BY 1)
+            SELECT 'out' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM outd GROUP BY 2
+            UNION ALL
+            SELECT 'in' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM ind GROUP BY 2
+        """,
+        "kg_pagerank": f"""
+            {_linked_sql(ext_synth, dims)},
+            spo AS (
+                SELECT coalesce(arg1_fbid, {node1}) AS sid,
+                       coalesce(arg2_fbid, {node2}) AS oid
+                FROM linked
+            ),
+            e AS (SELECT DISTINCT sid, oid FROM spo),
+            deg AS (SELECT sid, count(*) AS d FROM e GROUP BY 1),
+            nodes AS (SELECT sid AS node FROM e UNION SELECT oid FROM e),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)
+            {_pagerank_iteration_ctes(3)}
+            SELECT node AS node_id, round(rank, 6) AS pagerank FROM r3
         """,
         "s4_point_lookup": f"""
             {_linked_sql(ext_synth, dims)},

@@ -201,3 +201,92 @@ def two_hop(edges: DataFrame, max_fanout: int | None = 1000) -> DataFrame:
             .filter(F.col("_rn") <= max_fanout).drop("_rn")
         )
     return hop1.join(hop2, "mid").select("src", "hop2").distinct()
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Degree distribution of the KG — (degree, side, n_nodes): how
+    many nodes have each out-degree / in-degree. The operational skew
+    monitor at scale: the long tail of this table is exactly the hub
+    set that makes ``two_hop``'s fan-out cap and the typer's salted
+    join (G9) load-bearing, so production runs materialize it per
+    snapshot and alert on max-degree drift. Out side is a metadata
+    read of the adjacency list (``out_degree`` is precomputed); in
+    side is one explode + two map-side-combinable aggregations."""
+    out_side = (
+        edges.groupBy(F.col("out_degree").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn("side", F.lit("out"))
+    )
+    in_side = (
+        edges.select(F.explode("dst_ids").alias("dst"))
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn("side", F.lit("in"))
+    )
+    return out_side.unionByName(in_side).select("side", "degree", "n_nodes")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the adjacency-list edge table —
+    (node_id, pagerank). The KG's notability signal: the reference
+    ranks entities by Wikipedia inlink count (``J6``,
+    ``EntityTyper.scala`` inlinks join); PageRank is the same signal
+    computed from the graph itself, so unlinkable entities get ranked
+    too.
+
+    GraphX-convention formulation (unnormalized, start 1.0, rank =
+    (1−d) + d·Σ contrib): needs no global N constant, and dangling
+    nodes simply retain the (1−d) base — deterministic and
+    DuckDB-expressible, so the whole operator sits under a value-hash
+    oracle (chained per-iteration CTEs mirror the unrolled loop).
+
+    Scale shape: each iteration is ONE shuffle — contributions group
+    by dst; the rank join against the static (src, dst, out_degree)
+    pair list broadcasts when ranks are small and AQE-shuffle-joins
+    otherwise. The pair list is computed once and reused across
+    iterations (persist point at 100 TB; here Catalyst reuses the
+    subtree). Iterations are unrolled declaratively — no driver-side
+    graph state, no collect; for deep iteration counts callers should
+    localCheckpoint every ~5 rounds to bound lineage depth (the
+    near-dup fixpoint loops in ``operators/dedup.py`` do exactly
+    that). Hub in-degree skew lands on the groupBy(dst) reducer —
+    AQE's skew-split handles it because contribution rows are tiny
+    (two keys and a double).
+    """
+    pairs = edges.select(
+        F.col("subject_id").alias("src"),
+        F.explode("dst_ids").alias("dst"),
+        # distinct-neighbor count, NOT out_degree (which counts triple
+        # rows incl. parallel edges with different relations)
+        F.size("dst_ids").alias("deg"),
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("node_id"))
+        .union(pairs.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(iterations):
+        contribs = (
+            pairs.join(ranks, pairs["src"] == ranks["node_id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node_id"] == contribs["dst"], "left"
+        ).select(
+            "node_id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 5 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node_id", F.round("rank", 6).alias("pagerank"))

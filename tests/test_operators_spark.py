@@ -748,3 +748,107 @@ def test_relclause_bracket_spans_internal_comma():
               "B-NP", "O", "B-VP", "B-PP", "B-NP", "O"]
     brackets = nary._comma_brackets(toks, pos, chunks)
     assert [(o, c) for _, o, c in brackets] == [(1, 9)]
+
+
+def _pairs_df(spark, pairs):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_a", StringType()), StructField("doc_b", StringType()),
+    ])
+    return spark.createDataFrame([tuple(p) for p in pairs], schema)
+
+
+def _clusters_of(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    return {frozenset(v) for v in out.values()}, {r["doc_id"]: r["cluster_id"] for r in rows}
+
+
+def test_twostar_matches_propagation_on_chain(spark):
+    """A transitive near-dup CHAIN is the adversarial shape for
+    min-label propagation (diameter = n); two-star must produce the
+    identical labeling in O(log n) rounds."""
+    from openie_backend_spark.operators import dedup as D
+
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(11)]
+    pairs = _pairs_df(spark, chain)
+    a_sets, a_map = _clusters_of(D.dup_clusters(pairs, max_iterations=20))
+    b_sets, b_map = _clusters_of(D.dup_clusters_twostar(pairs))
+    assert a_sets == b_sets == {frozenset(f"d{i:02d}" for i in range(12))}
+    assert a_map == b_map  # both label by component minimum
+    assert set(b_map.values()) == {"d00"}
+
+
+def test_twostar_matches_propagation_random_graphs(spark):
+    import random
+
+    from openie_backend_spark.operators import dedup as D
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        edges = {
+            (f"n{min(a, b):02d}", f"n{max(a, b):02d}")
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+            )
+            if a != b
+        }
+        pairs = _pairs_df(spark, sorted(edges))
+        a_sets, a_map = _clusters_of(D.dup_clusters(pairs, max_iterations=30))
+        b_sets, b_map = _clusters_of(D.dup_clusters_twostar(pairs))
+        assert a_sets == b_sets, f"trial {trial}"
+        assert a_map == b_map, f"trial {trial}"
+
+
+def test_twostar_empty_and_single_pair(spark):
+    from openie_backend_spark.operators import dedup as D
+
+    assert D.dup_clusters_twostar(_pairs_df(spark, [("a", "b")])).collect() == [
+        ("a", "a"), ("b", "a"),
+    ] or True  # order-free check below
+    rows = {tuple(r) for r in D.dup_clusters_twostar(_pairs_df(spark, [("a", "b")])).collect()}
+    assert rows == {("a", "a"), ("b", "a")}
+    empty = _pairs_df(spark, [])
+    assert D.dup_clusters_twostar(empty).count() == 0
+
+
+def test_pagerank_hand_computed(spark):
+    """3-node graph a→b, b→c, c→a (plus a→c): verify one unrolled
+    iteration by hand and the damping base for dangling nodes."""
+    from pyspark.sql import functions as F
+
+    from openie_backend_spark.operators.materialize import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", ["b", "c"], 2), ("b", ["c"], 1)],
+        "subject_id string, dst_ids array<string>, out_degree bigint",
+    )
+    got = {r["node_id"]: r["pagerank"] for r in pagerank(edges, iterations=1).collect()}
+    # start 1.0: a gets no in-edges -> 0.15; b <- a/2 -> 0.15+0.85*0.5
+    # c <- a/2 + b/1 -> 0.15 + 0.85*1.5
+    assert got == {
+        "a": 0.15,
+        "b": round(0.15 + 0.85 * 0.5, 6),
+        "c": round(0.15 + 0.85 * 1.5, 6),
+    }
+    # more iterations keep the total finite and deterministic
+    got3 = {r["node_id"]: r["pagerank"] for r in pagerank(edges, iterations=3).collect()}
+    assert set(got3) == {"a", "b", "c"} and got3["a"] == 0.15
+
+
+def test_degree_stats(spark):
+    from openie_backend_spark.operators.materialize import degree_stats
+
+    edges = spark.createDataFrame(
+        [("a", ["b", "c"], 2), ("b", ["c"], 1), ("d", ["c"], 1)],
+        "subject_id string, dst_ids array<string>, out_degree bigint",
+    )
+    rows = {(r["side"], r["degree"]): r["n_nodes"] for r in degree_stats(edges).collect()}
+    assert rows == {
+        ("out", 2): 1, ("out", 1): 2,   # a has 2, b and d have 1
+        ("in", 1): 1, ("in", 3): 1,     # b in-deg 1, c in-deg 3
+    }
