@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -293,6 +295,38 @@ def main():
                    "WindowGroupLimit pushdown (map-side per-key top-k "
                    "before the shuffle)",
                    bool(re.search(r"WindowGroupLimit", hq_plan))))
+
+    # 15. Graph analytics (round 5): audited over a parquet edge table
+    # (NOT the full linker chain, whose 1-row scalar attach is a
+    # by-design BroadcastNestedLoop — see the kg_linked audit above):
+    # PageRank iterations are equality joins + hash aggregates, degree
+    # stats is explode + two aggregations with no join at all
+    from openie_backend_spark.operators.materialize import (
+        degree_stats, pagerank)
+    edges_dir = os.path.join(tempfile.gettempdir(),
+                             f"plan_audit_edges_{os.getpid()}")
+    spark.createDataFrame(
+        [(f"n{i}", [f"n{(i * 7 + j) % 40}" for j in range(3)], 3)
+         for i in range(40)],
+        "subject_id string, dst_ids array<string>, out_degree bigint",
+    ).write.mode("overwrite").parquet(edges_dir)
+    edges_df = spark.read.parquet(edges_dir)
+    audit("kg_pagerank", pagerank(edges_df, iterations=3), [
+        ("equality joins only (contrib + refresh)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("no Python UDF in the iteration path",
+         r"BatchEvalPython|ArrowEvalPython", False),
+        ("map-side partial sum of contributions", r"partial_sum", True),
+    ])
+    audit("kg_degree_stats", degree_stats(edges_df), [
+        ("no join (explode + two aggregations)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct",
+         False),
+        ("map-side partial count", r"partial_count", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+    ])
+    shutil.rmtree(edges_dir, ignore_errors=True)
 
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
