@@ -870,6 +870,35 @@ def _dedup_clusters_twostar(spark, sf):
     return D.dup_clusters_twostar(pairs)
 
 
+def _kg_components(spark, sf):
+    """Weakly connected components of the KG (two-star over the spo
+    edge set) — the graph-hygiene report that finds disconnected
+    extraction islands; oracle is the recursive-CTE closure."""
+    linked, _ = _synth_linked(spark)
+    spo = spo_table(linked)
+    pairs = spo.select(
+        F.col("subject_id").alias("doc_a"), F.col("object_id").alias("doc_b"))
+    return D.dup_clusters_twostar(pairs).select(
+        F.col("doc_id").alias("node_id"), F.col("cluster_id").alias("component_id"))
+
+
+def _kg_triangles(spark, sf):
+    """Per-node triangle participation (materialize.triangle_counts,
+    compact-forward with degree-ordered orientation — the O(√m)
+    wedge-fan-out bound is the skew defense)."""
+    from openie_backend_spark.operators.materialize import edge_table, triangle_counts
+
+    linked, _ = _synth_linked(spark)
+    return triangle_counts(edge_table(spo_table(linked)))
+
+
+def _txt_tfidf_keywords(spark, sf):
+    """Top-5 tf-idf keywords per document (curation.tfidf_keywords):
+    two map-side-combined aggregations + broadcast N + WindowGroupLimit
+    top-k, no Python."""
+    return CU.tfidf_keywords(_t(spark, sf, "documents"), k=5)
+
+
 def _s4_point_lookup(spark, sf):
     """S4: bucketed point reads on BOTH sort orders — materialize the
     synth SPO + OPS tables, look up one subject and one object through
@@ -1347,6 +1376,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_twostar": _dedup_clusters_twostar,
         "kg_degree_stats": _kg_degree_stats,
         "kg_pagerank": _kg_pagerank,
+        "kg_components": _kg_components,
+        "kg_triangles": _kg_triangles,
+        "txt_tfidf_keywords": _txt_tfidf_keywords,
     }
 
 
@@ -1863,6 +1895,27 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": f"""
             SELECT doc_id, list_min(list_transform({_SHINGLES5}, g -> md5(g))) AS fingerprint
             FROM documents
+        """,
+        "txt_tfidf_keywords": f"""
+            WITH t AS (
+                SELECT doc_id, tt.x AS term
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(lower(text)), {_WS})) AS tt(x)
+                WHERE tt.x <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 6) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, score, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC
+                ) AS INT) AS rank FROM s
+            ) WHERE rank <= 5
         """,
         "txt_repetition": f"""
             WITH ws AS (

@@ -609,6 +609,70 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             {_pagerank_iteration_ctes(3)}
             SELECT node AS node_id, round(rank, 6) AS pagerank FROM r3
         """,
+        # Weakly connected components of the KG: same transitive-closure
+        # ground truth as the dedup_clusters oracle, over the spo edge
+        # set (the WITH needs RECURSIVE prepended for the reach CTE)
+        "kg_components": f"""
+            {_linked_sql(ext_synth, dims).replace("WITH ", "WITH RECURSIVE ", 1)},
+            spo AS (
+                SELECT coalesce(arg1_fbid, {node1}) AS sid,
+                       coalesce(arg2_fbid, {node2}) AS oid
+                FROM linked
+            ),
+            sym AS (
+                SELECT sid AS a, oid AS b FROM spo WHERE sid <> oid
+                UNION SELECT oid, sid FROM spo WHERE sid <> oid
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS node_id, least(a, min(b)) AS component_id
+            FROM reach GROUP BY a
+        """,
+        # Compact-forward triangle counting mirror (materialize.
+        # triangle_counts): degree-ordered orientation, wedge close
+        "kg_triangles": f"""
+            {_linked_sql(ext_synth, dims)},
+            spo AS (
+                SELECT coalesce(arg1_fbid, {node1}) AS sid,
+                       coalesce(arg2_fbid, {node2}) AS oid
+                FROM linked
+            ),
+            und AS (
+                SELECT DISTINCT least(sid, oid) AS u, greatest(sid, oid) AS v
+                FROM spo WHERE sid <> oid
+            ),
+            deg AS (
+                SELECT n, count(*) AS d FROM (
+                    SELECT u AS n FROM und UNION ALL SELECT v FROM und
+                ) GROUP BY 1
+            ),
+            oriented AS (
+                SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                            THEN e.u ELSE e.v END AS src,
+                       CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                            THEN e.v ELSE e.u END AS dst
+                FROM und e
+                JOIN deg du ON du.n = e.u
+                JOIN deg dv ON dv.n = e.v
+            ),
+            wedges AS (
+                SELECT x.src, x.dst AS p, y.dst AS q
+                FROM oriented x JOIN oriented y ON x.src = y.src
+                WHERE x.dst < y.dst
+            ),
+            tris AS (
+                SELECT w.src, w.p, w.q
+                FROM wedges w JOIN und ON und.u = w.p AND und.v = w.q
+            )
+            SELECT node_id, count(*) AS n_triangles FROM (
+                SELECT src AS node_id FROM tris
+                UNION ALL SELECT p FROM tris
+                UNION ALL SELECT q FROM tris
+            ) GROUP BY 1
+        """,
         "s4_point_lookup": f"""
             {_linked_sql(ext_synth, dims)},
             spo AS (

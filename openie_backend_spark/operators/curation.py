@@ -296,3 +296,50 @@ def host_quota_sample(
         .filter(F.col("host_rank") <= quota)
         .select("doc_id", "host", "host_rank")
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` tf-idf keywords per document — (doc_id, term, tf,
+    score, rank). The classic corpus-statistics summarizer (Salton &
+    Buckley 1988): tf is the in-document term count, idf is the
+    smoothed log ratio ln((N+1)/(df+1)), score = tf·idf rounded to 6
+    decimals (double arithmetic is order-independent here: tf and df
+    are exact integers, so both engines compute identical doubles).
+
+    Scale shape: ONE exchange on (doc, term) for tf (map-side
+    combined), ONE on term for df — hot stopword terms collapse to a
+    row per partition before the shuffle; the corpus-size scalar N
+    attaches via a 1-row broadcast (the idf-total pattern of
+    ``operators/link.py``); the per-doc top-k window partitions on the
+    doc key with a deterministic (score DESC, term ASC) order and
+    plans a WindowGroupLimit, so each input partition ships at most k
+    rows per doc. No Python anywhere.
+    """
+    from openie_backend_spark.functions.text import words
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )

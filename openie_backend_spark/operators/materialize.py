@@ -290,3 +290,62 @@ def pagerank(
         if (i + 1) % 5 == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node_id", F.round("rank", 6).alias("pagerank"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected KG —
+    (node_id, n_triangles). Triangle density separates genuine entity
+    communities from star-shaped extraction noise, the graph-native
+    counterpart of the reference's inlink-based notability signals.
+
+    Compact-forward counting (Latapy 2008; Suri & Vassilvitskii WWW'11
+    for the MapReduce form): orient every undirected edge from the
+    lower to the higher endpoint in the (degree, id) total order, emit
+    wedges from each node's oriented out-neighbors, and close them
+    against the undirected edge set. The orientation is the skew
+    defense — any node's oriented out-degree is O(√m) regardless of
+    its real degree, so a hub with in-degree 10⁶ emits no wedges at
+    all (its edges all point INTO it); without it, wedge fan-out is
+    quadratic in hub degree. Each triangle has exactly one vertex with
+    oriented out-edges to the other two, so it is generated once.
+    Three equality-join shuffles total (degree attach ×2, wedge
+    self-join, closing probe) — all on bounded-fan-out relations.
+    """
+    pairs = edges.select(
+        F.col("subject_id").alias("a"), F.explode("dst_ids").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = pairs.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u").join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, "src")
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select("src", F.col("x.dst").alias("p"), F.col("y.dst").alias("q"))
+    )
+    tris = wedges.join(
+        und, (wedges["p"] == und["u"]) & (wedges["q"] == und["v"])
+    ).select("src", "p", "q")
+    return (
+        tris.select(F.explode(F.array("src", "p", "q")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

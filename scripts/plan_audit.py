@@ -326,7 +326,26 @@ def main():
         ("map-side partial count", r"partial_count", True),
         ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
     ])
+    from openie_backend_spark.operators.materialize import triangle_counts
+    audit("kg_triangles", triangle_counts(edges_df), [
+        ("equality joins only (degree attach, wedge, close)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+    ])
     shutil.rmtree(edges_dir, ignore_errors=True)
+
+    # 16. tf-idf keywords: two map-side-combined aggregations, the
+    # 1-row corpus-size broadcast (by-design BroadcastNestedLoop, same
+    # as the linker's idf total), and WindowGroupLimit map-side top-k
+    audit("txt_tfidf_keywords", xq["txt_tfidf_keywords"](spark, sf_dir), [
+        ("map-side partial counts (tf and df)", r"partial_count", True),
+        ("per-doc top-k pushed map-side (WindowGroupLimit)",
+         r"WindowGroupLimit", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("no cartesian beyond the 1-row N broadcast",
+         r"CartesianProduct", False),
+    ])
 
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")

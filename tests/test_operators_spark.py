@@ -852,3 +852,55 @@ def test_degree_stats(spark):
         ("out", 2): 1, ("out", 1): 2,   # a has 2, b and d have 1
         ("in", 1): 1, ("in", 3): 1,     # b in-deg 1, c in-deg 3
     }
+
+
+def test_triangle_counts_k4_and_star(spark):
+    """K4 has 4 triangles, each node in 3; a star has none (orientation
+    makes the hub emit zero wedges)."""
+    from openie_backend_spark.operators.materialize import triangle_counts
+
+    def adj(pairs):
+        from collections import defaultdict
+
+        d = defaultdict(set)
+        for a, b in pairs:
+            d[a].add(b)
+        return spark.createDataFrame(
+            [(k, sorted(v), len(v)) for k, v in d.items()],
+            "subject_id string, dst_ids array<string>, out_degree bigint",
+        )
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    got = {r["node_id"]: r["n_triangles"] for r in triangle_counts(adj(k4)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    star = [("hub", x) for x in ("s1", "s2", "s3", "s4", "s5")]
+    assert triangle_counts(adj(star)).count() == 0
+
+    # triangle + pendant edge: pendant node participates in none
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got2 = {r["node_id"]: r["n_triangles"] for r in triangle_counts(adj(tri)).collect()}
+    assert got2 == {"a": 1, "b": 1, "c": 1}
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from openie_backend_spark.operators.curation import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark engine common"),
+            (2, "duck duck oracle common"),
+            (3, "graph common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = tfidf_keywords(docs, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
+    # the repeated distinctive term wins; 'common' (df=3 -> idf=0) never ranks first
+    assert top == {1: "spark", 2: "duck", 3: "graph"}
+    import math
+
+    spark_row = [r for r in rows if r["doc_id"] == 1 and r["term"] == "spark"][0]
+    assert spark_row["tf"] == 2
+    assert spark_row["score"] == round(2 * math.log(4 / 2), 6)
+    assert all(r["rank"] <= 2 for r in rows)
