@@ -892,6 +892,34 @@ def _kg_triangles(spark, sf):
     return triangle_counts(edge_table(spo_table(linked)))
 
 
+def _kg_rel_synonyms(spark, sf):
+    """DIRT-style relation-synonym candidates
+    (kg_analytics.relation_synonyms): relations sharing (arg1, arg2)
+    witness pairs, hot-pair fan-out capped with the engine's standard
+    windowed top-k. min_shared=1 at synth scale (the corpus is tiny)."""
+    from openie_backend_spark.operators.kg_analytics import relation_synonyms
+
+    pages, _ = _synth(spark)
+    ex = instance_quality_filter(
+        extract_pages(pages, include_layers=False), min_conf=0.0)
+    return relation_synonyms(group_extractions(ex), min_shared=1)
+
+
+def _kg_snapshot_diff(spark, sf):
+    """Snapshot diff (kg_analytics.snapshot_diff): groups built from a
+    deterministic 8/16 url-hash subset of the corpus vs groups from the
+    full corpus — added/grown rows only (old ⊂ new), value-hashed
+    against a DuckDB full-outer re-derivation."""
+    from openie_backend_spark.operators.kg_analytics import snapshot_diff
+
+    pages, _ = _synth(spark)
+    ex = instance_quality_filter(
+        extract_pages(pages, include_layers=False), min_conf=0.0)
+    old = group_extractions(ex.filter(F.substring(F.md5("url"), 1, 1) < "8"))
+    new = group_extractions(ex)
+    return snapshot_diff(old, new)
+
+
 def _txt_tfidf_keywords(spark, sf):
     """Top-5 tf-idf keywords per document (curation.tfidf_keywords):
     two map-side-combined aggregations + broadcast N + WindowGroupLimit
@@ -1379,6 +1407,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "txt_tfidf_keywords": _txt_tfidf_keywords,
+        "kg_rel_synonyms": _kg_rel_synonyms,
+        "kg_snapshot_diff": _kg_snapshot_diff,
     }
 
 

@@ -631,6 +631,50 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT a AS node_id, least(a, min(b)) AS component_id
             FROM reach GROUP BY a
         """,
+        # DIRT-style relation synonyms (kg_analytics.relation_synonyms):
+        # same 64-per-pair windowed cap mirrored
+        "kg_rel_synonyms": f"""
+            WITH {_groups_ctes(ext_synth, with_heads=False)},
+            capped AS (
+                SELECT arg1_norm, arg2_norm, rel_norm FROM (
+                    SELECT arg1_norm, arg2_norm, rel_norm,
+                           row_number() OVER (
+                               PARTITION BY arg1_norm, arg2_norm
+                               ORDER BY rel_norm) AS rn
+                    FROM grp
+                ) WHERE rn <= 64
+            )
+            SELECT a.rel_norm AS rel_a, b.rel_norm AS rel_b,
+                   count(*) AS n_shared_pairs
+            FROM capped a
+            JOIN capped b ON a.arg1_norm = b.arg1_norm
+                         AND a.arg2_norm = b.arg2_norm
+                         AND a.rel_norm < b.rel_norm
+            GROUP BY 1, 2 HAVING count(*) >= 1
+        """,
+        # Snapshot diff (kg_analytics.snapshot_diff): old = url-hash
+        # subset, new = full corpus, full-outer on the group key
+        "kg_snapshot_diff": f"""
+            WITH {_groups_ctes(ext_synth, with_heads=False)},
+            old_g AS (
+                SELECT arg1_norm, rel_norm, arg2_norm,
+                       count(*) AS old_size
+                FROM ded WHERE substr(md5(url), 1, 1) < '8'
+                GROUP BY 1, 2, 3
+            ),
+            d AS (
+                SELECT arg1_norm, rel_norm, arg2_norm,
+                       o.old_size, g.size AS new_size,
+                       CASE WHEN o.old_size IS NULL THEN 'added'
+                            WHEN g.size IS NULL THEN 'removed'
+                            WHEN g.size > o.old_size THEN 'grown'
+                            WHEN g.size < o.old_size THEN 'shrunk'
+                       END AS status
+                FROM old_g o
+                FULL OUTER JOIN grp g USING (arg1_norm, rel_norm, arg2_norm)
+            )
+            SELECT * FROM d WHERE status IS NOT NULL
+        """,
         # Compact-forward triangle counting mirror (materialize.
         # triangle_counts): degree-ordered orientation, wedge close
         "kg_triangles": f"""

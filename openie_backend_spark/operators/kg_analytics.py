@@ -1,0 +1,90 @@
+"""KG-level analytics over grouped extractions: DIRT-style relation
+synonym candidates and snapshot diffing.
+
+Both are downstream consumers the reference serves ad hoc from its
+Lucene index (``backend/.../ExtractionGroupFetcher.scala`` answer
+queries); here they are first-class batch operators with value-hash
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openie_backend_spark.operators.group import GROUP_KEY
+
+
+def relation_synonyms(
+    groups: DataFrame,
+    min_shared: int = 2,
+    max_rels_per_pair: int = 64,
+) -> DataFrame:
+    """Relation-synonym candidates by shared argument pairs (the
+    distributional-similarity signal of DIRT, Lin & Pantel 2001 —
+    relations that connect the same (arg1, arg2) pairs tend to be
+    paraphrases: "acquired"/"bought"). Output: (rel_a, rel_b,
+    n_shared_pairs) with rel_a < rel_b and ≥ ``min_shared`` witnesses.
+
+    Scale shape: the self-join key is the (arg1, arg2) pair, and hot
+    pairs ("united states", "china") carry many relations — an
+    uncapped self-join squares that count. ``max_rels_per_pair`` is
+    the same deterministic windowed cap as every other fan-out in the
+    engine (two_hop, G5/G7): at most k relations per arg-pair enter
+    the pair expansion, ordered by rel_norm, so a hot pair emits
+    ≤ k(k−1)/2 rows instead of millions. The window partitions on the
+    join key itself, so the exchange is reused. Recall-only loss,
+    disclosed (a capped pair can miss SOME witness pairs, never emit
+    false ones); precision is untouched.
+    """
+    triples = groups.select("rel_norm", "arg1_norm", "arg2_norm").distinct()
+    w = Window.partitionBy("arg1_norm", "arg2_norm").orderBy("rel_norm")
+    capped = (
+        triples.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rels_per_pair)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.arg1_norm") == F.col("b.arg1_norm"))
+        & (F.col("a.arg2_norm") == F.col("b.arg2_norm"))
+        & (F.col("a.rel_norm") < F.col("b.rel_norm")),
+    )
+    return (
+        joined.groupBy(
+            F.col("a.rel_norm").alias("rel_a"),
+            F.col("b.rel_norm").alias("rel_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_pairs"))
+        .filter(F.col("n_shared_pairs") >= min_shared)
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Diff two KG snapshots on the group key — (arg1_norm, rel_norm,
+    arg2_norm, old_size, new_size, status ∈ {added, removed, grown,
+    shrunk}). The operational primitive for incremental pipelines:
+    what did this crawl batch change? Unchanged groups are dropped so
+    the output is proportional to the CHANGE, not the table.
+
+    Scale shape: one full-outer shuffle join on the group key — both
+    sides arrive hash-partitioned on the same key the groups stage
+    already partitions by, and when snapshots are written bucketed
+    (plans/pipeline.py) the join is co-located with no re-shuffle at
+    all. No skew exposure beyond what G1's caps already bound.
+    """
+    o = old.select(*GROUP_KEY, F.col("size").alias("old_size"))
+    n = new.select(*GROUP_KEY, F.col("size").alias("new_size"))
+    full = o.join(n, list(GROUP_KEY), "full_outer")
+    status = (
+        F.when(F.col("old_size").isNull(), F.lit("added"))
+        .when(F.col("new_size").isNull(), F.lit("removed"))
+        .when(F.col("new_size") > F.col("old_size"), F.lit("grown"))
+        .when(F.col("new_size") < F.col("old_size"), F.lit("shrunk"))
+    )
+    return (
+        full.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*GROUP_KEY, "old_size", "new_size", "status")
+    )

@@ -335,6 +335,35 @@ def main():
     ])
     shutil.rmtree(edges_dir, ignore_errors=True)
 
+    # 15b. KG analytics over a standalone groups relation (the synth
+    # chain upstream is audited by kg_spo/kg_linked): the synonym
+    # self-join must carry the hot-pair cap as a map-side
+    # WindowGroupLimit; the snapshot diff is one equality full-outer
+    from openie_backend_spark.operators.kg_analytics import (
+        relation_synonyms, snapshot_diff)
+    groups_dir = os.path.join(tempfile.gettempdir(),
+                              f"plan_audit_groups_{os.getpid()}")
+    spark.createDataFrame(
+        [(f"r{i % 5}", f"a{i % 7}", f"b{i % 3}", 1 + i % 4) for i in range(60)],
+        "rel_norm string, arg1_norm string, arg2_norm string, size bigint",
+    ).write.mode("overwrite").parquet(groups_dir)
+    groups_df = spark.read.parquet(groups_dir)
+    audit("kg_rel_synonyms", relation_synonyms(groups_df), [
+        ("equality self-join on the arg pair",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("hot-pair cap pushed map-side (WindowGroupLimit)",
+         r"WindowGroupLimit", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    audit("kg_snapshot_diff", snapshot_diff(groups_df, groups_df), [
+        ("one equality full-outer join on the group key",
+         r"SortMergeJoin .*FullOuter", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    shutil.rmtree(groups_dir, ignore_errors=True)
+
     # 16. tf-idf keywords: two map-side-combined aggregations, the
     # 1-row corpus-size broadcast (by-design BroadcastNestedLoop, same
     # as the linker's idf total), and WindowGroupLimit map-side top-k

@@ -904,3 +904,58 @@ def test_tfidf_keywords_ranks_distinctive_terms(spark):
     assert spark_row["tf"] == 2
     assert spark_row["score"] == round(2 * math.log(4 / 2), 6)
     assert all(r["rank"] <= 2 for r in rows)
+
+
+def test_relation_synonyms_cap_and_witness_counts(spark):
+    from openie_backend_spark.operators.kg_analytics import relation_synonyms
+
+    rows = [
+        # two arg-pairs both connected by buy+acquire -> 2 witnesses
+        ("buy", "a", "b"), ("acquire", "a", "b"),
+        ("buy", "c", "d"), ("acquire", "c", "d"),
+        # one shared pair for buy+purchase
+        ("buy", "a", "b"),  # duplicate group row must not double-count
+        ("purchase", "a", "b"),
+    ]
+    groups = spark.createDataFrame(
+        [(r, a1, a2, 1) for r, a1, a2 in rows],
+        "rel_norm string, arg1_norm string, arg2_norm string, size bigint",
+    )
+    got = {
+        (r["rel_a"], r["rel_b"]): r["n_shared_pairs"]
+        for r in relation_synonyms(groups, min_shared=1).collect()
+    }
+    assert got == {
+        ("acquire", "buy"): 2,
+        ("buy", "purchase"): 1,
+        ("acquire", "purchase"): 1,
+    }
+    # hot-pair cap: 10 relations on one pair, cap 3 -> C(3,2)=3 rows
+    hot = spark.createDataFrame(
+        [(f"rel{i:02d}", "x", "y", 1) for i in range(10)],
+        "rel_norm string, arg1_norm string, arg2_norm string, size bigint",
+    )
+    capped = relation_synonyms(hot, min_shared=1, max_rels_per_pair=3).collect()
+    assert len(capped) == 3
+    assert {r["rel_a"] for r in capped} <= {"rel00", "rel01"}  # deterministic prefix
+
+
+def test_snapshot_diff_statuses(spark):
+    from openie_backend_spark.operators.kg_analytics import snapshot_diff
+
+    def g(rows):
+        return spark.createDataFrame(
+            rows, "arg1_norm string, rel_norm string, arg2_norm string, size bigint")
+
+    old = g([("a", "r", "b", 2), ("c", "r", "d", 5), ("e", "r", "f", 1),
+             ("g", "r", "h", 3)])
+    new = g([("a", "r", "b", 4), ("c", "r", "d", 2), ("e", "r", "f", 1),
+             ("i", "r", "j", 7)])
+    got = {(r["arg1_norm"], r["status"]): (r["old_size"], r["new_size"])
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        ("a", "grown"): (2, 4),
+        ("c", "shrunk"): (5, 2),
+        ("g", "removed"): (3, None),
+        ("i", "added"): (None, 7),
+    }  # ("e", unchanged) dropped
