@@ -892,6 +892,33 @@ def _kg_triangles(spark, sf):
     return triangle_counts(edge_table(spo_table(linked)))
 
 
+def _stream_windowed_counts(spark, sf):
+    """Event-time windowed aggregation with a 2-hour watermark
+    (streaming/windows.windowed_event_counts) over the events table as
+    an AvailableNow file stream: append mode emits each (hour window,
+    event_type) aggregate exactly once, when the watermark passes the
+    window end. The emitted set is exactly the windows with
+    end ≤ max(ts) − 2h — a batch predicate the DuckDB oracle
+    re-derives; the late-row DROP behavior needs two passes and is
+    pytest-gated (test_entry_and_streaming)."""
+    import shutil
+
+    from openie_backend_spark import mirror
+    from openie_backend_spark.streaming.windows import (
+        read_windowed_counts, windowed_event_counts)
+
+    work = f"/tmp/openie_win_oracle_{mirror.source_version()}.{os.getpid()}"
+    _prune_stale_workdirs("/tmp/openie_win_oracle_", work)
+    shutil.rmtree(work, ignore_errors=True)
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ck = os.path.join(work, "ck")
+    events = _t(spark, sf, "events")
+    events.repartition(4, F.pmod("event_id", F.lit(4))).write.parquet(landing)
+    windowed_event_counts(spark, landing, out, ck)
+    return read_windowed_counts(spark, out)
+
+
 def _kg_rel_synonyms(spark, sf):
     """DIRT-style relation-synonym candidates
     (kg_analytics.relation_synonyms): relations sharing (arg1, arg2)
@@ -1409,6 +1436,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf_keywords": _txt_tfidf_keywords,
         "kg_rel_synonyms": _kg_rel_synonyms,
         "kg_snapshot_diff": _kg_snapshot_diff,
+        "stream_windowed_counts": _stream_windowed_counts,
     }
 
 
@@ -2061,6 +2089,20 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sh b ON b.doc_id = c.doc_b
             )
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        """,
+        # Append-mode watermark semantics as a batch predicate: the
+        # final watermark of an AvailableNow run is max(ts) - delay (a
+        # running max, independent of file batching), so the emitted
+        # set is exactly the windows with end <= that cutoff
+        "stream_windowed_counts": """
+            WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+            w AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       count(*) AS n_events, round(sum(value), 6) AS total_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT w.window_start, w.event_type, w.n_events, w.total_value
+            FROM w, m WHERE w.window_start + INTERVAL 1 HOUR <= m.wm
         """,
         "dedup_clusters": _CLUSTERS_SQL,
         # identical ground truth — twostar and propagation share the

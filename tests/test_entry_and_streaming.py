@@ -237,3 +237,64 @@ def test_py_files_zip_is_self_contained():
     assert "openie_backend_spark/nlp/chunker_model.json.gz" in names
     assert any(n.endswith("plans/pipeline.py") for n in names)
     assert not any("__pycache__" in n for n in names)
+
+
+def test_windowed_counts_drop_late_rows_across_passes(spark, tmp_path):
+    """Watermark semantics across AvailableNow passes: pass 1 advances
+    the persisted watermark; a pass-2 file whose rows fall before it is
+    dropped entirely (its window was finalized), while rows in a still-
+    open window aggregate normally."""
+    from datetime import datetime
+
+    from openie_backend_spark.streaming.windows import (
+        read_windowed_counts, windowed_event_counts)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def ev(eid, ts, etype, value):
+        return (eid, datetime.fromisoformat(ts), 1, etype, float(value), "{}")
+
+    cols = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    batch1 = spark.createDataFrame(
+        [
+            ev(1, "2024-06-01 01:10:00", "click", 1.0),
+            ev(2, "2024-06-01 01:20:00", "click", 2.0),
+            ev(3, "2024-06-01 02:30:00", "view", 1.0),
+            # max ts 10:00 -> watermark 08:00: windows ending <= 08:00 final
+            ev(4, "2024-06-01 10:00:00", "view", 1.0),
+        ],
+        cols,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(landing)
+    windowed_event_counts(spark, landing, out, ck)
+    first = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in read_windowed_counts(spark, out).collect()
+    }
+    assert first[("2024-06-01 01:00:00", "click")] == (2, 3.0)
+    assert first[("2024-06-01 02:00:00", "view")] == (1, 1.0)
+    assert ("2024-06-01 10:00:00", "view") not in first  # window still open
+
+    batch2 = spark.createDataFrame(
+        [
+            # LATE: window [01:00, 02:00) finalized in pass 1 -> dropped
+            ev(5, "2024-06-01 01:40:00", "click", 100.0),
+            # open window: aggregates; also pushes watermark to 11:00
+            ev(6, "2024-06-01 10:15:00", "view", 2.0),
+            ev(7, "2024-06-01 13:00:00", "view", 1.0),
+        ],
+        cols,
+    )
+    batch2.coalesce(1).write.mode("append").parquet(landing)
+    windowed_event_counts(spark, landing, out, ck)
+    second = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in read_windowed_counts(spark, out).collect()
+    }
+    # the late click row changed NOTHING: same finalized aggregate
+    assert second[("2024-06-01 01:00:00", "click")] == (2, 3.0)
+    assert sum(1 for (w, t) in second if w == "2024-06-01 01:00:00" and t == "click") == 1
+    # the 10:00 window finalized with BOTH its rows (watermark now 11:00)
+    assert second[("2024-06-01 10:00:00", "view")] == (2, 3.0)

@@ -959,3 +959,19 @@ def test_snapshot_diff_statuses(spark):
         ("g", "removed"): (3, None),
         ("i", "added"): (None, 7),
     }  # ("e", unchanged) dropped
+
+
+def test_dup_clusters_warns_on_iteration_cap(spark):
+    import warnings
+
+    from openie_backend_spark.operators import dedup as D
+
+    chain = _pairs_df(spark, [(f"w{i:02d}", f"w{i + 1:02d}") for i in range(8)])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.dup_clusters(chain, max_iterations=2).collect()
+    assert any("max_iterations" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.dup_clusters(chain, max_iterations=20).collect()
+    assert not any("max_iterations" in str(w.message) for w in caught)
