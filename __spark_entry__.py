@@ -892,6 +892,16 @@ def _kg_triangles(spark, sf):
     return triangle_counts(edge_table(spo_table(linked)))
 
 
+def _evt_sessionize(spark, sf):
+    """30-minute-gap sessionization over the events table
+    (operators/sessions.sessionize): lag + running sum + aggregate, all
+    sharing ONE user_id exchange; exact-micros gap rule and md5 session
+    ids so the DuckDB oracle value-hashes."""
+    from openie_backend_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf, "events"))
+
+
 def _stream_windowed_counts(spark, sf):
     """Event-time windowed aggregation with a 2-hour watermark
     (streaming/windows.windowed_event_counts) over the events table as
@@ -1437,6 +1447,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rel_synonyms": _kg_rel_synonyms,
         "kg_snapshot_diff": _kg_snapshot_diff,
         "stream_windowed_counts": _stream_windowed_counts,
+        "evt_sessionize": _evt_sessionize,
     }
 
 
@@ -2089,6 +2100,34 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sh b ON b.doc_id = c.doc_b
             )
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        """,
+        # sessions.sessionize mirror: same exact-micros gap rule, same
+        # md5(user:epoch_us) session identity
+        "evt_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800 * 1000000
+                            OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            n AS (
+                SELECT *, sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS session_no
+                FROM g
+            )
+            SELECT user_id,
+                   md5(CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(epoch_us(min(ts)) AS VARCHAR)) AS session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM n GROUP BY user_id, session_no
         """,
         # Append-mode watermark semantics as a batch predicate: the
         # final watermark of an AvailableNow run is max(ts) - delay (a

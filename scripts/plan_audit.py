@@ -376,6 +376,22 @@ def main():
          r"CartesianProduct", False),
     ])
 
+    # 17. Sessionization: lag window, running-sum window, and the
+    # session aggregate must all reuse ONE user_id exchange
+    # (HashPartitioning(user_id) satisfies the (user_id, session_no)
+    # clustering), with no Python in the plan
+    sess = xq["evt_sessionize"](spark, sf_dir)
+    audit("evt_sessionize", sess, [
+        ("partitioned on user_id", r"hashpartitioning\(user_id", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("no join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct", False),
+    ])
+    sess_plan = plan_of(sess)
+    n_sess_ex = len(re.findall(r"Arguments: hashpartitioning", sess_plan))
+    checks.append(("evt_sessionize",
+                   f"hash exchanges = {n_sess_ex} (1 expected: windows + "
+                   "aggregate share the user_id shuffle)", n_sess_ex == 1))
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:

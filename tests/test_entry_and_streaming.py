@@ -298,3 +298,55 @@ def test_windowed_counts_drop_late_rows_across_passes(spark, tmp_path):
     assert sum(1 for (w, t) in second if w == "2024-06-01 01:00:00" and t == "click") == 1
     # the 10:00 window finalized with BOTH its rows (watermark now 11:00)
     assert second[("2024-06-01 10:00:00", "view")] == (2, 3.0)
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch window sessionizer
+    on the same data, minus each user's final (still-open) session.
+    Two AvailableNow passes split at a time boundary prove the
+    GroupState survives the checkpoint across runs."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from openie_backend_spark.operators.sessions import (
+        SESSION_OUT_SCHEMA, sessionize, sessionize_stream)
+
+    t0 = datetime(2024, 6, 1, 8, 0, 0)
+
+    def ev(eid, user, minutes, value):
+        return (eid, t0 + timedelta(minutes=minutes), user, "click",
+                float(value), "{}")
+
+    cols = ("event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string")
+    # user 1: sessions [0,10], [60,65], [180] ; user 2: [0], [200,205]
+    early = [ev(1, 1, 0, 1), ev(2, 1, 10, 2), ev(3, 1, 60, 4),
+             ev(4, 1, 65, 8), ev(5, 2, 0, 1)]
+    late = [ev(6, 1, 180, 16), ev(7, 2, 200, 2), ev(8, 2, 205, 4)]
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(early, cols).coalesce(1).write.mode(
+        "append").parquet(landing)
+    sessionize_stream(spark, landing, out, ck)
+    spark.createDataFrame(late, cols).coalesce(1).write.mode(
+        "append").parquet(landing)
+    sessionize_stream(spark, landing, out, ck)
+
+    streamed = spark.read.schema(SESSION_OUT_SCHEMA).parquet(out)
+    batch = sessionize(spark.createDataFrame(early + late, cols))
+
+    key = lambda r: (r["user_id"], r["session_id"], str(r["session_start"]),
+                     str(r["session_end"]), r["n_events"], r["total_value"])
+    got = sorted(key(r) for r in streamed.collect())
+    # drop each user's LAST session from the batch truth (still open)
+    w_last = batch.withColumn(
+        "_last", F.max("session_start").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("user_id"))
+    ).filter(F.col("session_start") != F.col("_last")).drop("_last")
+    want = sorted(key(r) for r in w_last.collect())
+    assert got == want
+    assert len(got) == 3  # user1 x2 closed, user2 x1 closed
