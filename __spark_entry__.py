@@ -892,6 +892,21 @@ def _kg_triangles(spark, sf):
     return triangle_counts(edge_table(spo_table(linked)))
 
 
+def _emb_quantize(spark, sf):
+    """int8 scalar quantization of the embeddings table
+    (similarity.quantize_embeddings): per-vector min/max codes + a
+    reconstruction-error audit column, pure codegen (no shuffle, no
+    Python); codes emitted as csv for the cross-engine hash."""
+    from openie_backend_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id", "qmin", "qmax",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
+        "max_abs_err",
+    )
+
+
 def _evt_sessionize(spark, sf):
     """30-minute-gap sessionization over the events table
     (operators/sessions.sessionize): lag + running sum + aggregate, all
@@ -1448,6 +1463,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": _kg_snapshot_diff,
         "stream_windowed_counts": _stream_windowed_counts,
         "evt_sessionize": _evt_sessionize,
+        "emb_quantize": _emb_quantize,
     }
 
 
@@ -2100,6 +2116,37 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sh b ON b.doc_id = c.doc_b
             )
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        """,
+        # similarity.quantize_embeddings mirror: same double-widened
+        # min/max scalar quantization, same (c·(qmax−qmin))/255
+        # reconstruction, csv codes for the hash
+        "emb_quantize": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v, list_min(v) AS qmin, list_max(v) AS qmax,
+                       (list_max(v) - list_min(v)) / 255.0 AS scale
+                FROM v
+            ),
+            c AS (
+                SELECT vec_id, v, qmin, qmax,
+                       CASE WHEN scale = 0
+                            THEN list_transform(v, x -> 0)
+                            ELSE list_transform(
+                                v, x -> CAST(round((x - qmin) / scale) AS INT))
+                       END AS codes
+                FROM s
+            )
+            SELECT vec_id,
+                   round(qmin, 6) AS qmin, round(qmax, 6) AS qmax,
+                   array_to_string(codes, ',') AS codes_csv,
+                   round(list_max(list_transform(
+                       range(1, len(v) + 1),
+                       i -> abs(v[i] - (qmin + CAST(codes[i] AS DOUBLE)
+                                        * (qmax - qmin) / 255.0)))), 6)
+                       AS max_abs_err
+            FROM c
         """,
         # sessions.sessionize mirror: same exact-micros gap rule, same
         # md5(user:epoch_us) session identity

@@ -157,3 +157,66 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — (vec_id, qmin, qmax,
+    codes: array<int> in [0, 255], max_abs_err): the storage-compression
+    step before shipping an embedding corpus to an ANN index (4× smaller
+    than float32, reconstruction x̂ = qmin + code·scale).
+
+    Entirely JVM expressions (array_min/max + one transform + one
+    aggregate — no shuffle, no Python), so it runs inside whole-stage
+    codegen at scan speed; constant vectors (scale 0) quantize to all-0
+    codes with zero error. max_abs_err is the per-vector quality audit
+    column — downstream consumers threshold on it instead of trusting
+    the quantizer blindly. Rounded to 6 decimals for the cross-engine
+    value-hash oracle (same float-drift concession as pagerank).
+    """
+    # exact float32→double widening FIRST: both engines then do all
+    # arithmetic in double (a float32 intermediate would diverge from
+    # the oracle's DOUBLE[] math)
+    v = F.col(vec_col).cast("array<double>")
+    qmin = F.array_min(v)
+    qmax = F.array_max(v)
+    scale = (qmax - qmin) / F.lit(255.0)
+
+    codes = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round((x - qmin) / scale).cast("int"))
+    )
+    return (
+        embs.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("_v"),
+            qmin.alias("qmin"),
+            qmax.alias("qmax"),
+            codes.alias("codes"),
+        )
+        .withColumn(
+            "max_abs_err",
+            F.round(
+                F.array_max(
+                    F.zip_with(
+                        "_v",
+                        "codes",
+                        lambda x, c: F.abs(
+                            x
+                            - (
+                                F.col("qmin")
+                                + c.cast("double")
+                                * (F.col("qmax") - F.col("qmin"))
+                                / F.lit(255.0)
+                            )
+                        ),
+                    )
+                ),
+                6,
+            ),
+        )
+        .select("vec_id", F.round("qmin", 6).alias("qmin"),
+                F.round("qmax", 6).alias("qmax"), "codes", "max_abs_err")
+    )

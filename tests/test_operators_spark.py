@@ -975,3 +975,26 @@ def test_dup_clusters_warns_on_iteration_cap(spark):
         warnings.simplefilter("always")
         D.dup_clusters(chain, max_iterations=20).collect()
     assert not any("max_iterations" in str(w.message) for w in caught)
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark):
+    from openie_backend_spark.operators.similarity import quantize_embeddings
+
+    embs = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0, 0.5]),
+            (1, [2.0, 2.0, 2.0]),     # constant vector: scale 0
+            (2, [-1.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(embs).collect()}
+    assert rows[0]["codes"] == [0, 255, 128]
+    assert rows[0]["qmin"] == 0.0 and rows[0]["qmax"] == 1.0
+    assert rows[1]["codes"] == [0, 0, 0] and rows[1]["max_abs_err"] == 0.0
+    assert rows[2]["codes"] == [0, 255, 128]
+    # worst-case error <= half a quantization step (+ the 6-decimal
+    # rounding of the err column itself)
+    for vid, r in rows.items():
+        step = (r["qmax"] - r["qmin"]) / 255.0
+        assert r["max_abs_err"] <= step / 2 + 5e-7
