@@ -376,6 +376,14 @@ def main():
          r"CartesianProduct", False),
     ])
 
+    # 16b. Embedding quantization: one shuffle-free JVM projection
+    audit("emb_quantize", xq["emb_quantize"](spark, sf_dir), [
+        ("no shuffle (per-row array expressions)",
+         r"Arguments: hashpartitioning", False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("no join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False),
+    ])
+
     # 17. Sessionization: lag window, running-sum window, and the
     # session aggregate must all reuse ONE user_id exchange
     # (HashPartitioning(user_id) satisfies the (user_id, session_no)
