@@ -534,6 +534,50 @@ def _ann_lsh(spark, sf):
     return SIM.lsh_topk(e, _queries_vec(spark, sf), k=10, dim=64)
 
 
+def _ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (similarity.ivf_topk): deterministic
+    md5-sampled centroids, map-only cell assignment, nprobe=4 of 16
+    cells probed, exact rerank — the partition-pruned scale path."""
+    e = _t(spark, sf, "embeddings")
+    return SIM.ivf_topk(e, _queries_vec(spark, sf), k=10,
+                        n_centroids=16, nprobe=4)
+
+
+def _dedup_bloom(spark, sf):
+    """Bloom-filter incremental membership (dedup.bloom_membership):
+    history = the full corpus; the probe batch is every doc_id%4==0
+    document, half of them verbatim re-crawls (doc_id%8==0 keeps the
+    exact text → MUST flag; no false negatives) and half perturbed
+    (+' bloomnovel' suffix → flagged only by an md5-position
+    collision, ~5e-8 at these settings)."""
+    d = _t(spark, sf, "documents")
+    probe = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" bloomnovel")))
+        .alias("text"),
+    )
+    return D.bloom_membership(d, probe)
+
+
+def _mix_temperature(spark, sf):
+    """τ=2 temperature sampling of the corpus by lang
+    (curation.temperature_sample): IEEE-exact sqrt thresholds, kept
+    docs with their group rate in ppm."""
+    return CU.temperature_sample(_t(spark, sf, "documents"), "lang")
+
+
+def _kg_rel_signature(spark, sf):
+    """Relation type-signature induction over the linked KG
+    (kg_analytics.relation_type_signature): top-3 (arg1_type,
+    arg2_type) pairs per relation by instance support."""
+    from openie_backend_spark.operators.kg_analytics import (
+        relation_type_signature)
+
+    linked, _ = _synth_linked(spark)
+    return relation_type_signature(linked)
+
+
 # ---- KG pipeline (UDF-backed; rows-only checks) ----
 
 def _doc_pages(spark, sf):
@@ -1464,6 +1508,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _stream_windowed_counts,
         "evt_sessionize": _evt_sessionize,
         "emb_quantize": _emb_quantize,
+        "ann_ivf": _ann_ivf,
+        "dedup_bloom": _dedup_bloom,
+        "mix_temperature": _mix_temperature,
+        "kg_rel_signature": _kg_rel_signature,
     }
 
 
@@ -1805,6 +1853,101 @@ def _ann_lsh_sql() -> str:
                 FROM scored
             ) WHERE rank <= 10
     """
+
+
+def _ann_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """Mirror of similarity.ivf_topk: same (md5(vec_id), vec_id)
+    centroid sample, same argmax assignment (cosine rounded 6,
+    centroid-id tiebreak), same nprobe probe set and exact rerank."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), nz AS (SELECT * FROM v WHERE nrm > 0),
+        cent AS (
+            SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nz
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {n_centroids}
+        ), asg AS (
+            SELECT vec_id, v, nrm, cid FROM (
+                SELECT nz.vec_id, nz.v, nz.nrm, cent.cid,
+                       row_number() OVER (PARTITION BY nz.vec_id
+                           ORDER BY round(list_dot_product(nz.v, cent.cv)
+                                          / (nz.nrm * cent.cnrm), 6) DESC,
+                                    cent.cid ASC) AS rn
+                FROM nz CROSS JOIN cent
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+            FROM nz WHERE vec_id < 3
+        ), probes AS (
+            SELECT query_id, qv, qnrm, cid FROM (
+                SELECT q.query_id, q.qv, q.qnrm, cent.cid,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_dot_product(q.qv, cent.cv)
+                                          / (q.qnrm * cent.cnrm), 6) DESC,
+                                    cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+            ) WHERE rn <= {nprobe}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   round(list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm), 4)
+                       AS cosine
+            FROM asg a JOIN probes p USING (cid)
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _dedup_bloom_sql(m_bits: int = 1 << 18, k_hashes: int = 3) -> str:
+    """Mirror of dedup.bloom_membership over the planted probe batch:
+    identical md5 position arithmetic on both sides."""
+    js = ",".join(str(j) for j in range(k_hashes))
+    pos = ("CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || md5(text)),"
+           f" 1, 8)) AS BIGINT) % {m_bits}")
+    return f"""
+        WITH hist AS (
+            SELECT DISTINCT {pos} AS bit_pos
+            FROM documents, (SELECT unnest([{js}]) AS j)
+        ), probe AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 8 = 0 THEN text
+                        ELSE text || ' bloomnovel' END AS text
+            FROM documents WHERE doc_id % 4 = 0
+        ), ppos AS (
+            SELECT doc_id, {pos} AS bit_pos
+            FROM probe, (SELECT unnest([{js}]) AS j)
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM ppos JOIN hist USING (bit_pos) GROUP BY 1
+        )
+        SELECT p.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+               coalesce(h.n_hits, 0) = {k_hashes} AS maybe_dup
+        FROM (SELECT DISTINCT doc_id FROM probe) p
+        LEFT JOIN hits h USING (doc_id)
+    """
+
+
+_MIX_TEMPERATURE_SQL = """
+    WITH counts AS (
+        SELECT lang AS grp, count(*) AS n_l FROM documents GROUP BY 1
+    ), rates AS (
+        SELECT grp, sqrt((SELECT min(n_l) FROM counts)) / sqrt(n_l) AS rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(floor(1000000.0 * r.rate) AS BIGINT) AS rate_ppm
+    FROM documents d JOIN rates r ON r.grp = d.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2216,6 +2359,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding": _embedding_neardup_sql(threshold=0.3),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
+        "dedup_bloom": _dedup_bloom_sql(),
+        "mix_temperature": _MIX_TEMPERATURE_SQL,
         "ann_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3

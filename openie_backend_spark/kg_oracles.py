@@ -388,6 +388,32 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    coalesce(array_to_string(arg1_types, ','), '') AS arg1_types_csv
             FROM linked
         """,
+        "kg_rel_signature": f"""
+            {_linked_sql(ext_synth, dims)},
+            capped AS (
+                SELECT rel_norm, size,
+                       list_sort(arg1_types)[1:8] AS t1s,
+                       list_sort(arg2_types)[1:8] AS t2s
+                FROM linked
+            ),
+            typairs AS (
+                SELECT rel_norm, size, t1.x AS arg1_type, t2.y AS arg2_type
+                FROM capped, unnest(t1s) AS t1(x), unnest(t2s) AS t2(y)
+            ),
+            sigagg AS (
+                SELECT rel_norm, arg1_type, arg2_type,
+                       CAST(sum(size) AS BIGINT) AS support,
+                       count(*) AS n_groups
+                FROM typairs GROUP BY 1, 2, 3
+            )
+            SELECT rel_norm, arg1_type, arg2_type, support, n_groups, rank
+            FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY rel_norm
+                    ORDER BY support DESC, arg1_type ASC, arg2_type ASC)
+                    AS INT) AS rank
+                FROM sigagg
+            ) WHERE rank <= 3
+        """,
         "kg_typed": f"""
             {_typed_sql(ext_synth, dims)}
             SELECT l.arg1_norm, l.rel_norm, l.arg2_norm,

@@ -343,3 +343,52 @@ def tfidf_keywords(docs: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", "rank")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """τ=2 temperature sampling of a multilingual/multi-source corpus
+    (the down-weight-the-head mixing rule of multilingual pretraining,
+    Conneau & Lample 2019 §3.1 with α=1/τ=0.5): keep each document of
+    group ℓ with probability r_ℓ = sqrt(n_min / n_ℓ), so the sampled
+    group shares are proportional to sqrt of the raw shares — the
+    rarest group keeps everything, the head is compressed. Output: the
+    kept documents as (doc_id, group, rate_ppm), where rate_ppm =
+    floor(10^6 · r_ℓ) is the audit column.
+
+    Determinism & engine portability: the keep decision is
+    u < r_ℓ with u = first-8-hex-digits(md5(doc_id)) / 2^32. r_ℓ uses
+    ONLY IEEE-exact operations (integer sqrt inputs, one division of
+    two correctly-rounded sqrts), so Spark and DuckDB compute
+    bit-identical thresholds — no rounding tolerance needed at the
+    decision boundary, unlike pow()-based α ≠ 0.5 temperatures.
+
+    Scale shape: one tiny groupBy(group) count (map-side combined, as
+    many rows as groups), broadcast back; the keep filter is then
+    map-only over the corpus — no shuffle of the data plane at all.
+    """
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "grp", (F.sqrt("n_min") / F.sqrt("n_l")).alias("rate")
+    )
+    # over the post-rename "doc_id" column (select below runs first)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"))
+        .join(F.broadcast(rates), "grp")
+        .filter(u < F.col("rate"))
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            F.floor(F.lit(1000000.0) * F.col("rate")).cast("long").alias("rate_ppm"),
+        )
+    )

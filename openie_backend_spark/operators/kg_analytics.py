@@ -88,3 +88,54 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .filter(F.col("status").isNotNull())
         .select(*GROUP_KEY, "old_size", "new_size", "status")
     )
+
+
+def relation_type_signature(
+    linked: DataFrame,
+    k: int = 3,
+    max_types_per_side: int = 8,
+) -> DataFrame:
+    """Schema induction over the linked KG: the top-``k`` (arg1_type,
+    arg2_type) signatures per relation, weighted by instance support —
+    "acquired" ⇒ (/business/company, /business/company). This is the
+    aggregate view of what the reference's typer consumes per-arg
+    (``UnlinkableEntityTyper.scala:219-243`` predicts types FROM
+    rel→entity evidence; the signature table is that evidence turned
+    into a queryable relation-schema artifact).
+
+    Output: (rel_norm, arg1_type, arg2_type, support = Σ group size,
+    n_groups, rank).
+
+    Scale shape: the only expansion is the per-group type cross
+    product, bounded at ``max_types_per_side``² by a deterministic
+    sorted-prefix cap on EACH side's type list (FreeBase-style type
+    sets run 1-10 types; a pathological entity with hundreds cannot
+    quadratic-blow the explode — same concession as the shingle
+    caps). Then one map-side-combinable groupBy and a windowed top-k
+    per relation; hot relations ("is") are bounded by the window, not
+    by luck.
+    """
+    t1 = F.explode(
+        F.slice(F.array_sort("arg1_types"), 1, max_types_per_side)
+    ).alias("arg1_type")
+    pairs = (
+        linked.select("rel_norm", "size", t1, "arg2_types")
+        .select(
+            "rel_norm",
+            "size",
+            "arg1_type",
+            F.explode(
+                F.slice(F.array_sort("arg2_types"), 1, max_types_per_side)
+            ).alias("arg2_type"),
+        )
+    )
+    agg = pairs.groupBy("rel_norm", "arg1_type", "arg2_type").agg(
+        F.sum("size").alias("support"), F.count(F.lit(1)).alias("n_groups")
+    )
+    w = Window.partitionBy("rel_norm").orderBy(
+        F.desc("support"), F.asc("arg1_type"), F.asc("arg2_type")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

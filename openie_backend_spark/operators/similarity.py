@@ -159,6 +159,96 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path this module's header promises: partition the corpus
+    into ``n_centroids`` Voronoi cells, probe only the ``nprobe``
+    cells closest to each query, exact-rerank inside them.
+
+    Deterministic train step (no k-means iterations): centroids are
+    the ``n_centroids`` corpus vectors first in ``(md5(vec_id),
+    vec_id)`` order — a content-independent uniform sample, collected
+    to the driver via TakeOrdered (no full shuffle) exactly like a
+    real IVF trains on a sample. Assignment is then a MAP-ONLY
+    expression over an array literal of centroids (argmax cosine,
+    rounded to 6 decimals with centroid-id tiebreak so the oracle's
+    window ordering reproduces it bit-for-bit) — the corpus is never
+    shuffled and never joined against itself.
+
+    Scale shape: at 10^9+ vectors the corpus is written partitioned
+    by ``centroid_id`` (the inverted lists); a query batch touches
+    ``nprobe/n_centroids`` of the data via partition pruning. Recall
+    < 1 by construction; BENCH/ANN.md reports measured recall vs the
+    brute-force baseline alongside LSH's.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("cvec"), _norm(v).alias("cnrm")
+    ).filter(F.col("cnrm") > 0)
+    cents = (
+        base.select("vec_id", "cvec", "cnrm")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def _scored(vec, nrm):
+        # array of (cosine-to-centroid, -cid): array_max / reverse-sort
+        # give cosine DESC then cid ASC, matching the oracle window
+        return F.array(*[
+            F.struct(
+                F.round(
+                    _dot(vec, F.array(*[F.lit(x) for x in r["cvec"]]))
+                    / (nrm * F.lit(r["cnrm"])),
+                    6,
+                ).alias("cos"),
+                F.lit(-int(r["vec_id"])).alias("neg_cid"),
+            )
+            for r in cents
+        ])
+
+    assigned = base.withColumn(
+        "centroid_id", -F.array_max(_scored(F.col("cvec"), F.col("cnrm")))["neg_cid"]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("qnrm"),
+    ).filter(F.col("qnrm") > 0)
+    probes = q.withColumn(
+        "centroid_id",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_scored(F.col("qvec"), F.col("qnrm")))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: -s["neg_cid"],
+            )
+        ),
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").withColumn(
+        "cosine",
+        F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm")), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def quantize_embeddings(
     embs: DataFrame,
     id_col: str = "vec_id",

@@ -400,6 +400,59 @@ def main():
                    f"hash exchanges = {n_sess_ex} (1 expected: windows + "
                    "aggregate share the user_id shuffle)", n_sess_ex == 1))
 
+    # 18. Round-5b additions: IVF ANN (map-only assignment, broadcast
+    # probe join — the corpus is never self-joined or re-shuffled
+    # before the rerank window), Bloom membership (equality semi-join
+    # shape, no history re-shuffle per probe row beyond the distinct),
+    # temperature sampling (tiny broadcast rates, map-only keep
+    # filter), relation type signature (bounded explode + one agg +
+    # WindowGroupLimit top-k)
+    audit("ann_ivf", xq["ann_ivf"](spark, sf_dir), [
+        ("probe side broadcast-joined on centroid_id", r"BroadcastHashJoin", True),
+        ("no cartesian join (centroids are literals, not a join side)",
+         r"CartesianProduct|BroadcastNestedLoop", False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("rerank top-k pushed map-side (WindowGroupLimit)",
+         r"WindowGroupLimit", True),
+    ])
+    audit("dedup_bloom", xq["dedup_bloom"](spark, sf_dir), [
+        ("bit-position probe is an equality join",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ("map-side partial aggregation (distinct bits / hit counts)",
+         r"partial_count|HashAggregate", True),
+    ])
+    audit("mix_temperature", xq["mix_temperature"](spark, sf_dir), [
+        ("per-group rates broadcast back to the corpus",
+         r"BroadcastHashJoin", True),
+        ("map-side partial count of group sizes", r"partial_count", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    from openie_backend_spark.operators.kg_analytics import (
+        relation_type_signature)
+    linked_dir = os.path.join(tempfile.gettempdir(),
+                              f"plan_audit_linked_{os.getpid()}")
+    spark.createDataFrame(
+        [(f"r{i % 5}", 1 + i % 4,
+          [f"/t/{i % 3}", f"/t/{i % 7}"], [f"/t/{i % 4}"])
+         for i in range(60)],
+        "rel_norm string, size bigint, arg1_types array<string>, "
+        "arg2_types array<string>",
+    ).write.mode("overwrite").parquet(linked_dir)
+    audit("kg_rel_signature",
+          relation_type_signature(spark.read.parquet(linked_dir)), [
+        ("one aggregation exchange feeding the per-rel window",
+         r"Arguments: hashpartitioning\(rel_norm", True),
+        ("per-rel top-k pushed map-side (WindowGroupLimit)",
+         r"WindowGroupLimit", True),
+        ("no join (type explode is row-local)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct",
+         False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    shutil.rmtree(linked_dir, ignore_errors=True)
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:

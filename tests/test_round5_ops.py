@@ -1,0 +1,128 @@
+"""Round-5 additions: IVF ANN, Bloom incremental membership,
+temperature-mix sampling, relation type-signature induction."""
+
+from pyspark.sql import functions as F
+
+from openie_backend_spark.operators.curation import temperature_sample
+from openie_backend_spark.operators.dedup import bloom_membership
+from openie_backend_spark.operators.kg_analytics import relation_type_signature
+from openie_backend_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def _embs(spark, n=40, dim=8):
+    """Deterministic small embedding table (LCG, no numpy RNG)."""
+    rows, state = [], 11
+    for i in range(n):
+        vec = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            vec.append((state / float(1 << 63)) * 2.0 - 1.0)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_probe_all_equals_bruteforce(spark):
+    """nprobe == n_centroids probes every cell -> exact == brute force."""
+    corpus = _embs(spark)
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=5)
+    ivf = ivf_topk(corpus, queries, k=5, n_centroids=4, nprobe=4)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_ivf_partial_probe_subset_and_ranked(spark):
+    """nprobe < n_centroids: results are a subset of the corpus scored
+    exactly, ranks contiguous from 1, cosine non-increasing."""
+    corpus = _embs(spark)
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, k=5, n_centroids=8, nprobe=2)
+    rows = out.collect()
+    assert rows, "partial probe returned nothing"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in brute_force_topk(corpus, queries, k=40).collect()
+    }
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rs:  # candidate scores are EXACT, only the set is approximate
+            assert exact[(q, r.vec_id)] == r.cosine
+
+
+def test_bloom_no_false_negatives_and_hit_counts(spark):
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} padding text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        # 5 exact re-crawls + 5 novel docs
+        [(100 + i, f"history document number {i} padding text") for i in range(5)]
+        + [(200 + i, f"genuinely novel probe {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bloom_membership(hist, probe).collect()}
+    assert len(out) == 10
+    for i in range(5):  # Bloom guarantee: a true member is ALWAYS flagged
+        assert out[100 + i].maybe_dup and out[100 + i].n_hits == 3
+    for i in range(5):  # deterministic hashes: these don't collide
+        assert not out[200 + i].maybe_dup
+
+
+def test_temperature_sample_rates_and_rare_group_kept(spark):
+    rows = (
+        [(i, "en") for i in range(64)]
+        + [(100 + i, "de") for i in range(16)]
+        + [(200 + i, "fr") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(docs, "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # rate_ppm = floor(1e6 * sqrt(n_min / n_l))
+    assert {r.rate_ppm for r in by_lang["fr"]} == {1000000}
+    assert {r.rate_ppm for r in by_lang.get("de", [])} <= {500000}
+    assert {r.rate_ppm for r in by_lang.get("en", [])} <= {250000}
+    # rarest group keeps every document (rate exactly 1.0)
+    assert sorted(r.doc_id for r in by_lang["fr"]) == [200, 201, 202, 203]
+    kept_ids = {r.doc_id for r in out}
+    assert kept_ids <= {r[0] for r in rows}
+
+
+def test_relation_type_signature_ranking_and_caps(spark):
+    linked = spark.createDataFrame(
+        [
+            ("acquired", 10, ["/biz/co"], ["/biz/co"]),
+            ("acquired", 5, ["/biz/co"], ["/biz/co", "/org/org"]),
+            ("acquired", 1, ["/person"], ["/biz/co"]),
+            ("born in", 3, ["/person"], ["/loc/city"]),
+            ("untyped rel", 9, [], ["/biz/co"]),  # empty side -> no rows
+        ],
+        "rel_norm string, size long, arg1_types array<string>, "
+        "arg2_types array<string>",
+    )
+    out = relation_type_signature(linked, k=2)
+    rows = {(r.rel_norm, r.rank): r for r in out.collect()}
+    top = rows[("acquired", 1)]
+    assert (top.arg1_type, top.arg2_type, top.support, top.n_groups) == (
+        "/biz/co", "/biz/co", 15, 2)
+    assert rows[("acquired", 2)].support == 5
+    assert ("acquired", 3) not in rows  # k=2 cap
+    assert rows[("born in", 1)].arg2_type == "/loc/city"
+    assert not [r for r in rows if r[0] == "untyped rel"]
+    # side cap: a hundred-type entity contributes at most 8 per side
+    fat = spark.createDataFrame(
+        [("r", 1, [f"/t/{i:03d}" for i in range(100)], ["/x"])],
+        "rel_norm string, size long, arg1_types array<string>, "
+        "arg2_types array<string>",
+    )
+    assert relation_type_signature(fat, k=100).count() <= 8
