@@ -567,6 +567,24 @@ def _mix_temperature(spark, sf):
     return CU.temperature_sample(_t(spark, sf, "documents"), "lang")
 
 
+def _dedup_canonical(spark, sf):
+    """Survivor selection over MinHash-LSH duplicate clusters
+    (dedup.canonical_docs): keep the longest member per cluster,
+    doc_id tiebreak — clusters in, deduplicated-corpus decision out."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return D.canonical_docs(docs, D.dup_clusters(pairs))
+
+
+def _kg_entity_aliases(spark, sf):
+    """Alias table per linked entity (kg_analytics.entity_aliases):
+    top-5 surface forms per fbid by instance support, both arg sides."""
+    from openie_backend_spark.operators.kg_analytics import entity_aliases
+
+    linked, _ = _synth_linked(spark)
+    return entity_aliases(linked)
+
+
 def _kg_rel_signature(spark, sf):
     """Relation type-signature induction over the linked KG
     (kg_analytics.relation_type_signature): top-3 (arg1_type,
@@ -1512,6 +1530,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": _dedup_bloom,
         "mix_temperature": _mix_temperature,
         "kg_rel_signature": _kg_rel_signature,
+        "dedup_canonical": _dedup_canonical,
+        "kg_entity_aliases": _kg_entity_aliases,
     }
 
 
@@ -1770,6 +1790,39 @@ _CLUSTERS_SQL = f"""
     )
     SELECT a AS doc_id, least(a, min(b)) AS cluster_id
     FROM reach GROUP BY a
+"""
+
+# survivor selection over the same clusters: longest member wins,
+# doc_id tiebreak (mirror of dedup.canonical_docs)
+_CANONICAL_SQL = f"""
+    WITH RECURSIVE pairs AS (
+    {_MINHASH_PAIRS_SQL}
+),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clus AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    mem AS (
+        SELECT c.doc_id, c.cluster_id,
+               CAST(length(d.text) AS BIGINT) AS text_len
+        FROM clus c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members,
+           text_len,
+           (row_number() OVER (PARTITION BY cluster_id
+                ORDER BY text_len DESC, doc_id ASC)) = 1 AS keep
+    FROM mem
 """
 
 
@@ -2362,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "dedup_bloom": _dedup_bloom_sql(),
         "mix_temperature": _MIX_TEMPERATURE_SQL,
+        "dedup_canonical": _CANONICAL_SQL,
         "ann_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3

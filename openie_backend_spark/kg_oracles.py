@@ -388,6 +388,26 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    coalesce(array_to_string(arg1_types, ','), '') AS arg1_types_csv
             FROM linked
         """,
+        "kg_entity_aliases": f"""
+            {_linked_sql(ext_synth, dims)},
+            sides AS (
+                SELECT arg1_fbid AS fbid, arg1_norm AS surface, size
+                FROM linked WHERE arg1_fbid IS NOT NULL
+                UNION ALL
+                SELECT arg2_fbid, arg2_norm, size
+                FROM linked WHERE arg2_fbid IS NOT NULL
+            ),
+            aliagg AS (
+                SELECT fbid, surface, CAST(sum(size) AS BIGINT) AS support,
+                       count(*) AS n_groups
+                FROM sides GROUP BY 1, 2
+            )
+            SELECT fbid, surface, support, n_groups, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY fbid
+                    ORDER BY support DESC, surface ASC) AS INT) AS rank
+                FROM aliagg
+            ) WHERE rank <= 5
+        """,
         "kg_rel_signature": f"""
             {_linked_sql(ext_synth, dims)},
             capped AS (

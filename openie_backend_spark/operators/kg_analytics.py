@@ -139,3 +139,48 @@ def relation_type_signature(
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def entity_aliases(
+    linked: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Alias table per linked entity: the top-``k`` surface forms
+    (normalized arg strings) that link to each FreeBase id, weighted
+    by instance support — the KG-construction artifact that answers
+    "what strings do people use for /m/02mjmr?" and feeds the
+    reference's frontend grouping (M6 groups BY this equivalence;
+    ``ExtractionGroupFetcher.scala`` resolves queries through it).
+    Both argument sides contribute: an entity's aliases as a subject
+    and as an object are the same alias set.
+
+    Output: (fbid, surface, support = Σ group size, n_groups, rank).
+
+    Scale shape: a two-way union of column projections (map-only),
+    ONE map-side-combinable groupBy on (fbid, surface), then the
+    windowed per-entity top-k — WindowGroupLimit pushes the rank
+    filter map-side, so a mega-entity ("united states") never
+    materializes its full surface list on one task beyond the
+    aggregated distinct-surface rows it actually has.
+    """
+    sides = []
+    for side in ("arg1", "arg2"):
+        sides.append(
+            linked.select(
+                F.col(f"{side}_entity.fbid").alias("fbid"),
+                F.col(f"{side}_norm").alias("surface"),
+                F.col("size"),
+            ).filter(F.col("fbid").isNotNull())
+        )
+    agg = (
+        sides[0].unionByName(sides[1])
+        .groupBy("fbid", "surface")
+        .agg(F.sum("size").alias("support"), F.count(F.lit(1)).alias("n_groups"))
+    )
+    w = Window.partitionBy("fbid").orderBy(
+        F.desc("support"), F.asc("surface")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

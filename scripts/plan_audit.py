@@ -453,6 +453,46 @@ def main():
     ])
     shutil.rmtree(linked_dir, ignore_errors=True)
 
+    # 19. Survivor selection + alias table: canonical_docs shares ONE
+    # cluster_id exchange between the membership-count window and the
+    # keep-rank window; entity_aliases is union -> one agg -> windowed
+    # top-k with the rank filter pushed map-side
+    canon_plan = xq["dedup_canonical"](spark, sf_dir)
+    audit("dedup_canonical", canon_plan, [
+        ("cluster join is an equality join, no cartesian",
+         r"CartesianProduct|BroadcastNestedLoop", False),
+        ("both windows share the cluster_id partitioning",
+         r"hashpartitioning\(cluster_id", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    n_canon_ex = len(re.findall(r"Arguments: hashpartitioning\(cluster_id",
+                                plan_of(canon_plan)))
+    checks.append(("dedup_canonical",
+                   f"cluster_id hash exchanges = {n_canon_ex} (1 expected: "
+                   "count window + rank window share one shuffle)",
+                   n_canon_ex == 1))
+    from openie_backend_spark.operators.kg_analytics import entity_aliases
+    alias_dir = os.path.join(tempfile.gettempdir(),
+                             f"plan_audit_alias_{os.getpid()}")
+    spark.createDataFrame(
+        [(f"s{i % 7}", f"r{i % 3}", f"o{i % 5}", 1 + i % 4,
+          (f"F{i % 4}",), (f"F{i % 6}",)) for i in range(60)],
+        "arg1_norm string, rel_norm string, arg2_norm string, size bigint, "
+        "arg1_entity struct<fbid:string>, arg2_entity struct<fbid:string>",
+    ).write.mode("overwrite").parquet(alias_dir)
+    audit("kg_entity_aliases",
+          entity_aliases(spark.read.parquet(alias_dir)), [
+        ("per-entity top-k pushed map-side (WindowGroupLimit)",
+         r"WindowGroupLimit", True),
+        ("no join (side union is a column projection)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct",
+         False),
+        ("map-side partial aggregation of (fbid, surface) support",
+         r"partial_sum|HashAggregate", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    shutil.rmtree(alias_dir, ignore_errors=True)
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:

@@ -126,3 +126,46 @@ def test_relation_type_signature_ranking_and_caps(spark):
         "arg2_types array<string>",
     )
     assert relation_type_signature(fat, k=100).count() <= 8
+
+
+def test_canonical_docs_survivor_selection(spark):
+    from openie_backend_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest member here"), (3, "medium txt"),
+         (4, "same len a"), (5, "same len b"), (6, "a singleton never paired")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        # cluster 1 = {1,2,3}; cluster 4 = {4,5} (equal lengths -> id tiebreak)
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r.doc_id: r for r in canonical_docs(docs, clusters).collect()}
+    assert len(out) == 5 and 6 not in out  # singletons pass through untouched
+    assert out[2].keep and not out[1].keep and not out[3].keep
+    assert out[2].n_members == 3 and out[2].text_len == 23
+    assert out[4].keep and not out[5].keep  # equal length -> lower doc_id
+    assert out[4].n_members == 2
+
+
+def test_entity_aliases_topk_and_sides(spark):
+    from openie_backend_spark.operators.kg_analytics import entity_aliases
+
+    linked = spark.createDataFrame(
+        [
+            # fbid F1 appears as arg1 under two surfaces and as arg2 once
+            ("barack obama", "met", "x", 5, ("F1",), (None,)),
+            ("obama", "met", "y", 2, ("F1",), (None,)),
+            ("z", "praised", "mr obama", 4, (None,), ("F1",)),
+            # unlinked group contributes nothing
+            ("nobody", "did", "nothing", 9, (None,), (None,)),
+        ],
+        "arg1_norm string, rel_norm string, arg2_norm string, size long, "
+        "arg1_entity struct<fbid:string>, arg2_entity struct<fbid:string>",
+    )
+    out = {(r.fbid, r.rank): r for r in entity_aliases(linked, k=2).collect()}
+    assert len(out) == 2  # k=2 cap drops the third surface
+    assert out[("F1", 1)].surface == "barack obama"
+    assert out[("F1", 1)].support == 5 and out[("F1", 1)].n_groups == 1
+    assert out[("F1", 2)].surface == "mr obama" and out[("F1", 2)].support == 4
