@@ -567,6 +567,12 @@ def _mix_temperature(spark, sf):
     return CU.temperature_sample(_t(spark, sf, "documents"), "lang")
 
 
+def _dedup_passages(spark, sf):
+    """Exact substring dedup (dedup.duplicate_passages): maximal word
+    spans whose 8-grams recur in >= 2 distinct documents."""
+    return D.duplicate_passages(_t(spark, sf, "documents"), ngram=8)
+
+
 def _dedup_canonical(spark, sf):
     """Survivor selection over MinHash-LSH duplicate clusters
     (dedup.canonical_docs): keep the longest member per cluster,
@@ -1017,6 +1023,18 @@ def _kg_rel_synonyms(spark, sf):
     ex = instance_quality_filter(
         extract_pages(pages, include_layers=False), min_conf=0.0)
     return relation_synonyms(group_extractions(ex), min_shared=1)
+
+
+def _kg_rel_inverses(spark, sf):
+    """Converse/symmetric-relation candidates
+    (kg_analytics.relation_inverses): relations sharing SWAPPED
+    (arg1, arg2) witness pairs. min_shared=1 at synth scale."""
+    from openie_backend_spark.operators.kg_analytics import relation_inverses
+
+    pages, _ = _synth(spark)
+    ex = instance_quality_filter(
+        extract_pages(pages, include_layers=False), min_conf=0.0)
+    return relation_inverses(group_extractions(ex), min_shared=1)
 
 
 def _kg_snapshot_diff(spark, sf):
@@ -1522,6 +1540,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "txt_tfidf_keywords": _txt_tfidf_keywords,
         "kg_rel_synonyms": _kg_rel_synonyms,
+        "kg_rel_inverses": _kg_rel_inverses,
         "kg_snapshot_diff": _kg_snapshot_diff,
         "stream_windowed_counts": _stream_windowed_counts,
         "evt_sessionize": _evt_sessionize,
@@ -1532,6 +1551,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rel_signature": _kg_rel_signature,
         "dedup_canonical": _dedup_canonical,
         "kg_entity_aliases": _kg_entity_aliases,
+        "dedup_passages": _dedup_passages,
     }
 
 
@@ -1791,6 +1811,50 @@ _CLUSTERS_SQL = f"""
     SELECT a AS doc_id, least(a, min(b)) AS cluster_id
     FROM reach GROUP BY a
 """
+
+def _dedup_passages_sql(ngram: int = 8, min_docs: int = 2,
+                        max_positions: int = 2048) -> str:
+    """Mirror of dedup.duplicate_passages: same md5 word-n-grams, same
+    distinct-doc threshold, same gaps-and-islands span merge."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), {_WS}) AS ws
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, CAST(t.s AS BIGINT) AS start,
+                   md5(array_to_string(ws[t.s : t.s + {ngram - 1}], ' ')) AS gh
+            FROM toks,
+                 unnest(range(1, least(len(ws) - {ngram - 1},
+                                       {max_positions}) + 1)) AS t(s)
+            WHERE len(ws) >= {ngram}
+        ), dup AS (
+            SELECT gh FROM (
+                SELECT gh, count(DISTINCT doc_id) AS n_docs
+                FROM pos GROUP BY gh
+            ) WHERE n_docs >= {min_docs}
+        ), flagged AS (
+            SELECT doc_id, start, start + {ngram - 1} AS e
+            FROM pos WHERE gh IN (SELECT gh FROM dup)
+        ), brks AS (
+            SELECT doc_id, start, e,
+                   CASE WHEN start > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM flagged
+        ), isl AS (
+            SELECT doc_id, start, e,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM brks
+        )
+        SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+               max(e) - min(start) + 1 AS span_words
+        FROM isl GROUP BY doc_id, island
+    """
+
 
 # survivor selection over the same clusters: longest member wins,
 # doc_id tiebreak (mirror of dedup.canonical_docs)
@@ -2416,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bloom": _dedup_bloom_sql(),
         "mix_temperature": _MIX_TEMPERATURE_SQL,
         "dedup_canonical": _CANONICAL_SQL,
+        "dedup_passages": _dedup_passages_sql(),
         "ann_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3

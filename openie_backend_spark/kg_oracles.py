@@ -698,6 +698,27 @@ def build(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          AND a.rel_norm < b.rel_norm
             GROUP BY 1, 2 HAVING count(*) >= 1
         """,
+        "kg_rel_inverses": f"""
+            WITH {_groups_ctes(ext_synth, with_heads=False)},
+            capped AS (
+                SELECT arg1_norm, arg2_norm, rel_norm FROM (
+                    SELECT arg1_norm, arg2_norm, rel_norm,
+                           row_number() OVER (
+                               PARTITION BY arg1_norm, arg2_norm
+                               ORDER BY rel_norm) AS rn
+                    FROM grp WHERE arg1_norm <> arg2_norm
+                ) WHERE rn <= 64
+            )
+            SELECT a.rel_norm AS rel_a, b.rel_norm AS rel_b,
+                   count(*) AS n_shared_pairs
+            FROM capped a
+            JOIN capped b ON a.arg1_norm = b.arg2_norm
+                         AND a.arg2_norm = b.arg1_norm
+                         AND (a.rel_norm < b.rel_norm
+                              OR (a.rel_norm = b.rel_norm
+                                  AND a.arg1_norm < a.arg2_norm))
+            GROUP BY 1, 2 HAVING count(*) >= 1
+        """,
         # Snapshot diff (kg_analytics.snapshot_diff): old = url-hash
         # subset, new = full corpus, full-outer on the group key
         "kg_snapshot_diff": f"""

@@ -184,3 +184,57 @@ def entity_aliases(
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def relation_inverses(
+    groups: DataFrame,
+    min_shared: int = 2,
+    max_rels_per_pair: int = 64,
+) -> DataFrame:
+    """Inverse/converse-relation candidates by SWAPPED argument pairs —
+    the mirror of ``relation_synonyms``: rel_a(x, y) co-occurring with
+    rel_b(y, x) signals converse paraphrases ("acquired"/"was bought
+    by", "owns"/"belongs to"), and rel_a = rel_b signals a SYMMETRIC
+    relation ("married", "borders"). Output: (rel_a, rel_b,
+    n_shared_pairs) with rel_a ≤ rel_b; for the symmetric diagonal
+    each unordered witness pair {x, y} is counted once (x < y guard)
+    and x = y self-witnesses are excluded.
+
+    Scale shape: identical to relation_synonyms — one windowed cap per
+    (arg1, arg2) pair bounds both join sides at ``max_rels_per_pair``
+    (a hot entity pair emits ≤ k² rows, never millions), and the join
+    key is pure equality (a's (arg1, arg2) against b's (arg2, arg1)).
+    Recall-only cap loss, disclosed.
+    """
+    triples = (
+        groups.select("rel_norm", "arg1_norm", "arg2_norm")
+        .filter(F.col("arg1_norm") != F.col("arg2_norm"))
+        .distinct()
+    )
+    w = Window.partitionBy("arg1_norm", "arg2_norm").orderBy("rel_norm")
+    capped = (
+        triples.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rels_per_pair)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.arg1_norm") == F.col("b.arg2_norm"))
+        & (F.col("a.arg2_norm") == F.col("b.arg1_norm"))
+        & (
+            (F.col("a.rel_norm") < F.col("b.rel_norm"))
+            | (
+                (F.col("a.rel_norm") == F.col("b.rel_norm"))
+                & (F.col("a.arg1_norm") < F.col("a.arg2_norm"))
+            )
+        ),
+    )
+    return (
+        joined.groupBy(
+            F.col("a.rel_norm").alias("rel_a"),
+            F.col("b.rel_norm").alias("rel_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_pairs"))
+        .filter(F.col("n_shared_pairs") >= min_shared)
+    )

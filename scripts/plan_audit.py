@@ -493,6 +493,38 @@ def main():
     ])
     shutil.rmtree(alias_dir, ignore_errors=True)
 
+    # 20. Exact substring dedup: the duplicate decision is per-n-gram
+    # (no pairwise join of documents anywhere); flagged positions come
+    # back via ONE equality join on the gram hash
+    audit("dedup_passages", xq["dedup_passages"](spark, sf_dir), [
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("flag join is an equality join on the gram hash",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("map-side partial aggregation of gram occurrences",
+         r"partial_count|HashAggregate", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    # 21. Inverse-relation candidates over a synthetic groups table
+    # (the real chain's NLP UDF is audited at kg_spo): capped swapped
+    # self-join, equality keys only
+    from openie_backend_spark.operators.kg_analytics import relation_inverses
+    inv_dir = os.path.join(tempfile.gettempdir(),
+                           f"plan_audit_inv_{os.getpid()}")
+    spark.createDataFrame(
+        [(f"r{i % 5}", f"e{i % 7}", f"e{(i + 1) % 7}") for i in range(80)],
+        "rel_norm string, arg1_norm string, arg2_norm string",
+    ).write.mode("overwrite").parquet(inv_dir)
+    audit("kg_rel_inverses",
+          relation_inverses(spark.read.parquet(inv_dir), min_shared=1), [
+        ("swapped self-join is an equality join",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no cartesian join", r"CartesianProduct|BroadcastNestedLoop", False),
+        ("hot-pair cap window precedes the join (WindowGroupLimit)",
+         r"WindowGroupLimit", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+    shutil.rmtree(inv_dir, ignore_errors=True)
+
     ok = sum(1 for _, _, k in checks if k)
     out = os.path.join(REPO, "EXPLAIN.md")
     with open(out, "w") as fh:

@@ -169,3 +169,57 @@ def test_entity_aliases_topk_and_sides(spark):
     assert out[("F1", 1)].surface == "barack obama"
     assert out[("F1", 1)].support == 5 and out[("F1", 1)].n_groups == 1
     assert out[("F1", 2)].surface == "mr obama" and out[("F1", 2)].support == 4
+
+
+def test_duplicate_passages_spans_and_thresholds(spark):
+    from openie_backend_spark.operators.dedup import duplicate_passages
+
+    common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rep8 = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " unique tail aa bb cc"),
+            (2, "prefix words here " + common),
+            # 8-gram repeated twice WITHIN one doc only -> not flagged
+            (3, rep8 + " spacer " + rep8),
+            (4, "completely unrelated text with nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_passages(docs, ngram=8).collect()}
+    # doc1: the 10 shared words occupy words 1..10 -> one merged span
+    assert (out[1].span_start, out[1].span_end, out[1].span_words) == (1, 10, 10)
+    # doc2: shared passage starts at word 4
+    assert (out[2].span_start, out[2].span_end, out[2].span_words) == (4, 13, 10)
+    assert 3 not in out and 4 not in out
+    # ngram > shared-passage length -> nothing flagged anywhere
+    assert duplicate_passages(docs, ngram=11).count() == 0
+
+
+def test_relation_inverses_converse_and_symmetric(spark):
+    from openie_backend_spark.operators.kg_analytics import relation_inverses
+
+    groups = spark.createDataFrame(
+        [
+            # converse pair: acquired(g,y) <-> was bought by(y,g), 2 witnesses
+            ("acquired", "google", "youtube"),
+            ("was bought by", "youtube", "google"),
+            ("acquired", "meta", "instagram"),
+            ("was bought by", "instagram", "meta"),
+            # symmetric: borders(f,s) and borders(s,f) -> ONE unordered witness
+            ("borders", "france", "spain"),
+            ("borders", "spain", "france"),
+            # same direction only -> no inverse signal
+            ("employs", "acme", "bob"),
+            ("hired", "acme", "bob"),
+            # self-witness excluded
+            ("equals", "x", "x"),
+        ],
+        "rel_norm string, arg1_norm string, arg2_norm string",
+    )
+    out = {(r.rel_a, r.rel_b): r.n_shared_pairs
+           for r in relation_inverses(groups, min_shared=1).collect()}
+    assert out[("acquired", "was bought by")] == 2
+    assert out[("borders", "borders")] == 1  # counted once, not twice
+    assert ("employs", "hired") not in out
+    assert not any("equals" in k for k in out)
