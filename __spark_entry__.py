@@ -591,6 +591,12 @@ def _kg_entity_aliases(spark, sf):
     return entity_aliases(linked)
 
 
+def _mix_split(spark, sf):
+    """Deterministic train/val/test hash split (curation.hash_split):
+    every doc assigned by salted-md5 threshold, stable under growth."""
+    return CU.hash_split(_t(spark, sf, "documents"))
+
+
 def _kg_rel_signature(spark, sf):
     """Relation type-signature induction over the linked KG
     (kg_analytics.relation_type_signature): top-3 (arg1_type,
@@ -1552,6 +1558,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _dedup_canonical,
         "kg_entity_aliases": _kg_entity_aliases,
         "dedup_passages": _dedup_passages,
+        "mix_split": _mix_split,
     }
 
 
@@ -2052,6 +2059,24 @@ def _dedup_bloom_sql(m_bits: int = 1 << 18, k_hashes: int = 3) -> str:
     """
 
 
+def _mix_split_sql(fractions: dict[str, float] | None = None,
+                   salt: str = "split") -> str:
+    """Mirror of curation.hash_split: boundary constants computed by
+    the SAME Python accumulation, embedded via repr so the doubles are
+    bit-identical on both engines."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = sorted(fractions)
+    u = (f"CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)),"
+         " 1, 8)) AS BIGINT) / 4294967296.0")
+    case = "CASE"
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        case += f" WHEN {u} < {cum!r} THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
 _MIX_TEMPERATURE_SQL = """
     WITH counts AS (
         SELECT lang AS grp, count(*) AS n_l FROM documents GROUP BY 1
@@ -2479,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "dedup_bloom": _dedup_bloom_sql(),
         "mix_temperature": _MIX_TEMPERATURE_SQL,
+        "mix_split": _mix_split_sql(),
         "dedup_canonical": _CANONICAL_SQL,
         "dedup_passages": _dedup_passages_sql(),
         "ann_bruteforce": """

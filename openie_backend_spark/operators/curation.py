@@ -392,3 +392,49 @@ def temperature_sample(
             F.floor(F.lit(1000000.0) * F.col("rate")).cast("long").alias("rate_ppm"),
         )
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each document lands in
+    exactly one split based on u = first-8-hex-digits(md5(salt || ':'
+    || doc_id)) / 2^32 against the cumulative fraction boundaries —
+    reproducible across runs, engines, and partitionings (no RNG
+    state), stable under corpus growth (a document's split never
+    changes when other documents arrive — the property samplers with
+    global row numbers lack, and the reason eval-set stability
+    survives recrawls). The ``salt`` namespaces assignments so
+    independent splits of the same corpus decorrelate.
+
+    Output: every input row as (doc_id, split). Map-only: no shuffle,
+    no aggregation — the 100 TB shape is a projection. Fractions must
+    sum to 1 (validated); boundaries use exact decimal arithmetic on
+    the caller's floats, mirrored digit-for-digit in the oracle SQL.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    expr = None
+    cum = 0.0
+    names = sorted(fractions)  # deterministic boundary order
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))

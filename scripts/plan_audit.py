@@ -493,6 +493,24 @@ def main():
     ])
     shutil.rmtree(alias_dir, ignore_errors=True)
 
+    # 19b. Hash split: the 100 TB shape is a pure projection — the
+    # plan must contain NO exchange, join, aggregate, or Python UDF.
+    # Audited over the raw parquet read: the harness table loader adds
+    # a round-robin repartition that is not part of the operator.
+    from openie_backend_spark.operators.curation import hash_split
+    split_plan = plan_of(hash_split(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))))
+    for desc, pat in [
+        ("no exchange (map-only projection)", r"Exchange"),
+        ("no join", r"Join"),
+        ("no aggregate", r"Aggregate"),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas"),
+    ]:
+        ok_split = not re.search(pat, split_plan)
+        checks.append(("mix_split", desc, ok_split))
+    sections.append(("mix_split", split_plan,
+                     [("map-only plan", True)]))
+
     # 20. Exact substring dedup: the duplicate decision is per-n-gram
     # (no pairwise join of documents anywhere); flagged positions come
     # back via ONE equality join on the gram hash

@@ -223,3 +223,27 @@ def test_relation_inverses_converse_and_symmetric(spark):
     assert out[("borders", "borders")] == 1  # counted once, not twice
     assert ("employs", "hired") not in out
     assert not any("equals" in k for k in out)
+
+
+def test_hash_split_deterministic_stable_and_proportional(spark):
+    import pytest as _pytest
+
+    from openie_backend_spark.operators.curation import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(2000)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert len(out) == 2000 and set(out.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in out.values() if v == s) for s in set(out.values())}
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03
+    assert abs(counts["val"] / 2000 - 0.05) < 0.02
+    # growth stability: assignments computed on a subset are identical
+    sub = {r.doc_id: r.split
+           for r in hash_split(docs.filter(F.col("doc_id") < 500)).collect()}
+    assert all(out[i] == sub[i] for i in sub)
+    # a different salt decorrelates
+    other = {r.doc_id: r.split for r in hash_split(docs, salt="s2").collect()}
+    assert any(out[i] != other[i] for i in out)
+    with _pytest.raises(ValueError):
+        hash_split(docs, fractions={"a": 0.5, "b": 0.6})
