@@ -105,6 +105,9 @@ def run_incremental(
     checkpoint_dir: str,
     pages_schema,
     n_buckets: int = N_BUCKETS,
+    dedup_pages: bool = False,
+    bloom_m_bits: int = 1 << 18,
+    bloom_k: int = 3,
 ) -> None:
     """One AvailableNow catch-up pass: stream new page files from
     ``landing_dir``, extract+group each micro-batch, merge into the
@@ -118,7 +121,23 @@ def run_incremental(
     O(i + G·touched/n_buckets), not O(G) (VERDICT r1 #6: the previous
     full-outer-join + directory swap rewrote the whole table per
     batch). Untouched bucket files are left byte-identical, which the
-    streaming test asserts."""
+    streaming test asserts.
+
+    ``dedup_pages=True`` adds a Bloom "seen" filter IN FRONT of the
+    NLP: every ingested page text's bit positions persist to
+    ``<groups_dir>/_seen_bits`` (underscore-prefixed — invisible to
+    the groups parquet reader), and a new batch drops pages whose text
+    the archive has already extracted — a re-crawl costs k md5s, not a
+    CPython extraction pass. Bloom semantics, sized by
+    ``bloom_m_bits``/``bloom_k``: a true re-crawl is ALWAYS dropped; a
+    false positive (rate (1−e^(−kn/m))^k) drops a genuinely-new page
+    whose text hashes onto k already-set bits — acceptable for crawl
+    dedup, so the feature is opt-in. Crash ordering: bits append AFTER
+    the merge commit, so a replay either re-merges (the existing
+    at-least-once window) or — if bits landed but the marker did not —
+    probes the batch as fully seen and no-ops, which is consistent
+    because the merge had committed. Appending bit rows is set union
+    (replay-idempotent by construction)."""
 
     # Batch ids are unique only per checkpoint: a deleted or replaced
     # checkpoint restarts them at 0, and a bare _batch_0.done from the
@@ -144,6 +163,20 @@ def run_incremental(
         marker = os.path.join(groups_dir, f"_batch_{run_id}_{batch_id}.done")
         if os.path.exists(marker):
             return
+        seen_dir = os.path.join(groups_dir, "_seen_bits")
+        if dedup_pages:
+            from openie_backend_spark.operators.dedup import bloom_bits, bloom_probe
+
+            if os.path.isdir(seen_dir):
+                flags = bloom_probe(
+                    spark.read.parquet(seen_dir), batch_df,
+                    m_bits=bloom_m_bits, k_hashes=bloom_k, id_col="url",
+                )
+                batch_df = batch_df.join(
+                    flags.filter(F.col("maybe_dup"))
+                    .select(F.col("doc_id").alias("url")),
+                    "url", "left_anti",
+                )
         incoming = (
             group_extractions(extract_pages(batch_df), corpus="stream")
             .withColumn("bucket", bucket_col(n_buckets))
@@ -168,6 +201,11 @@ def run_incremental(
             .partitionBy("bucket")
             .parquet(groups_dir)
         )
+        if dedup_pages:
+            # after the merge commit (see docstring crash ordering);
+            # duplicate bit rows from a replay are harmless set union
+            bloom_bits(batch_df, m_bits=bloom_m_bits, k_hashes=bloom_k) \
+                .write.mode("append").parquet(seen_dir)
         with open(marker, "w") as fh:
             fh.write("merged\n")
 

@@ -247,3 +247,36 @@ def test_hash_split_deterministic_stable_and_proportional(spark):
     assert any(out[i] != other[i] for i in out)
     with _pytest.raises(ValueError):
         hash_split(docs, fractions={"a": 0.5, "b": 0.6})
+
+
+def test_streaming_ingest_bloom_page_dedup(spark, tmp_path):
+    import os
+
+    from openie_backend_spark.streaming.ingest import run_incremental
+
+    landing = tmp_path / "landing"
+    groups_dir = str(tmp_path / "groups")
+    ckpt = str(tmp_path / "ckpt")
+    landing.mkdir()
+    schema = "url string, text string, lang string"
+    batch1 = spark.createDataFrame(
+        [("u1", "Acme Corp acquired Globex Inc. .", "en")], schema)
+    batch1.write.parquet(str(landing / "b1"))
+    run_incremental(spark, str(landing) + "/*", groups_dir, ckpt,
+                    batch1.schema, dedup_pages=True)
+    g1 = spark.read.parquet(groups_dir)
+    assert g1.filter(F.col("rel_norm") == "acquire").first()["size"] == 1
+    assert os.path.isdir(os.path.join(groups_dir, "_seen_bits"))
+
+    # batch 2: u2 re-crawls u1's exact text (must be DROPPED before
+    # extraction), u3 is novel (must merge)
+    batch2 = spark.createDataFrame(
+        [("u2", "Acme Corp acquired Globex Inc. .", "en"),
+         ("u3", "Initech was founded by Grace Hopper .", "en")], schema)
+    batch2.write.parquet(str(landing / "b2"))
+    run_incremental(spark, str(landing) + "/*", groups_dir, ckpt,
+                    batch2.schema, dedup_pages=True)
+    g2 = spark.read.parquet(groups_dir)
+    acq = g2.filter(F.col("rel_norm") == "acquire").first()
+    assert acq["size"] == 1, "re-crawled page must not re-extract"
+    assert g2.filter(F.col("rel_norm") == "be found by").count() == 1
