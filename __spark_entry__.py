@@ -591,6 +591,13 @@ def _kg_entity_aliases(spark, sf):
     return entity_aliases(linked)
 
 
+def _txt_profile(spark, sf):
+    """Corpus datasheet (curation.corpus_profile): one (metric, value)
+    table per snapshot — doc counts, dup rate, token mass, quality,
+    language mix."""
+    return CU.corpus_profile(_t(spark, sf, "documents"))
+
+
 def _mix_split(spark, sf):
     """Deterministic train/val/test hash split (curation.hash_split):
     every doc assigned by salted-md5 threshold, stable under growth."""
@@ -1559,6 +1566,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_aliases": _kg_entity_aliases,
         "dedup_passages": _dedup_passages,
         "mix_split": _mix_split,
+        "txt_profile": _txt_profile,
     }
 
 
@@ -2265,6 +2273,42 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": f"""
             SELECT doc_id, list_min(list_transform({_SHINGLES5}, g -> md5(g))) AS fingerprint
             FROM documents
+        """,
+        # corpus datasheet (curation.corpus_profile): quality summed as
+        # exact integers (x 10^4) so the mean is ONE correctly-rounded
+        # division — a double sum would hash-diverge on addition order
+        "txt_profile": f"""
+            WITH base AS (
+                SELECT
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len({wsplit}) END AS toks,
+                    len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+)')) AS bpe,
+                    CAST(round(round(
+                        (CASE WHEN len({wsplit}) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+                      + (CASE WHEN length(text) / greatest(len({wsplit}), 1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+                      + (CASE WHEN len(list_filter({wsplit}, w -> w IN {stop_en})) / greatest(len({wsplit}), 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
+                      + 0.25 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / greatest(length(text), 1))
+                    , 4) * 10000) AS BIGINT) AS q4,
+                    md5(text) AS h,
+                    lang
+                FROM documents
+            ),
+            g AS (SELECT count(*) AS n, sum(toks) AS st, sum(bpe) AS sb,
+                         sum(q4) AS sq FROM base),
+            d AS (SELECT count(*) AS nd FROM (SELECT DISTINCT h FROM base))
+            SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM g
+            UNION ALL SELECT 'distinct_texts', CAST(nd AS DOUBLE) FROM d
+            UNION ALL SELECT 'dup_rate',
+                round(1.0 - CAST(nd AS DOUBLE) / n, 6) FROM g, d
+            UNION ALL SELECT 'total_tokens', CAST(st AS DOUBLE) FROM g
+            UNION ALL SELECT 'mean_tokens',
+                round(CAST(st AS DOUBLE) / n, 6) FROM g
+            UNION ALL SELECT 'total_bpe_tokens', CAST(sb AS DOUBLE) FROM g
+            UNION ALL SELECT 'mean_quality',
+                round(sq / 10000.0 / n, 6) FROM g
+            UNION ALL SELECT 'lang_share:' || lang,
+                round(CAST(count(*) AS DOUBLE) / (SELECT n FROM g), 6)
+            FROM base GROUP BY lang
         """,
         "txt_tfidf_keywords": f"""
             WITH t AS (

@@ -438,3 +438,81 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
+
+
+def corpus_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Corpus datasheet in one call — the profile table a training-data
+    pipeline publishes with every snapshot (docs, exact-dup rate,
+    token mass, quality, language mix) so downstream consumers can diff
+    snapshots without re-scanning the corpus. Output: (metric, value)
+    rows — n_docs, distinct_texts, dup_rate, total_tokens, mean_tokens,
+    total_bpe_tokens, mean_quality, and one lang_share:<lang> row per
+    language.
+
+    Engine portability at the float boundary: per-doc quality is
+    already rounded to 4 decimals, so it is summed as an exact integer
+    (×10⁴, cast long) and divided once at the end — a double sum would
+    hash-diverge across engines because addition order differs per
+    partitioning. All other sums are integer; each mean/share is ONE
+    correctly-rounded division of exact integers.
+
+    Scale shape: one map-side-combinable global aggregate over derived
+    columns, one distinct-text count (two-level groupBy on md5 —
+    map-side combined, skew-free), one tiny per-lang count; everything
+    downstream of those is single-row arithmetic.
+    """
+    from openie_backend_spark.functions.text import (
+        bpe_token_count,
+        quality_score,
+        token_count,
+    )
+
+    base = docs.select(
+        token_count(text_col).alias("toks"),
+        bpe_token_count(text_col).alias("bpe"),
+        F.round(quality_score(text_col) * 10000).cast("long").alias("q4"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.col(lang_col).alias("lang"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("toks").alias("st"),
+        F.sum("bpe").alias("sb"),
+        F.sum("q4").alias("sq"),
+    )
+    d = (
+        base.select("h").groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    n, st, sb, sq, nd = (F.col(c) for c in ("n", "st", "sb", "sq", "nd"))
+
+    def m(name, value):
+        return F.struct(F.lit(name).alias("metric"),
+                        value.cast("double").alias("value"))
+
+    core = g.crossJoin(F.broadcast(d)).select(
+        F.explode(
+            F.array(
+                m("n_docs", n),
+                m("distinct_texts", nd),
+                m("dup_rate", F.round(F.lit(1.0) - nd / n, 6)),
+                m("total_tokens", st),
+                m("mean_tokens", F.round(st / n, 6)),
+                m("total_bpe_tokens", sb),
+                m("mean_quality", F.round(sq / F.lit(10000.0) / n, 6)),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.value")
+    langs = (
+        base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(F.broadcast(g.select("n")))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
+            F.round(F.col("n_l") / F.col("n"), 6).alias("value"),
+        )
+    )
+    return core.unionByName(langs)

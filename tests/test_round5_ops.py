@@ -280,3 +280,28 @@ def test_streaming_ingest_bloom_page_dedup(spark, tmp_path):
     acq = g2.filter(F.col("rel_norm") == "acquire").first()
     assert acq["size"] == 1, "re-crawled page must not re-extract"
     assert g2.filter(F.col("rel_norm") == "be found by").count() == 1
+
+
+def test_corpus_profile_exact_values(spark):
+    from openie_backend_spark.operators.curation import corpus_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en"),
+            (2, "one two three", "en"),   # exact dup of doc 1
+            (3, "vier fünf", "de"),
+            (4, "alpha beta gamma delta", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.metric: r.value for r in corpus_profile(docs).collect()}
+    assert out["n_docs"] == 4.0
+    assert out["distinct_texts"] == 3.0
+    assert out["dup_rate"] == 0.25
+    assert out["total_tokens"] == 3 + 3 + 2 + 4
+    assert out["mean_tokens"] == 3.0
+    assert out["lang_share:en"] == 0.75
+    assert out["lang_share:de"] == 0.25
+    # quality: every doc here misses the length gate; mean is in [0, 1]
+    assert 0.0 <= out["mean_quality"] <= 1.0
+    assert out["total_bpe_tokens"] >= out["total_tokens"]
