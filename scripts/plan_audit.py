@@ -511,6 +511,16 @@ def main():
     sections.append(("mix_split", split_plan,
                      [("map-only plan", True)]))
 
+    # 19c. Corpus datasheet: global aggregates with map-side partials,
+    # single-row arithmetic joined by broadcast only
+    audit("txt_profile", xq["txt_profile"](spark, sf_dir), [
+        ("map-side partial aggregation", r"partial_count|partial_sum", True),
+        ("single-row composition joins are broadcast",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin", True),
+        ("no shuffled join", r"SortMergeJoin|ShuffledHashJoin", False),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+
     # 20. Exact substring dedup: the duplicate decision is per-n-gram
     # (no pairwise join of documents anywhere); flagged positions come
     # back via ONE equality join on the gram hash
