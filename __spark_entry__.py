@@ -591,6 +591,13 @@ def _kg_entity_aliases(spark, sf):
     return entity_aliases(linked)
 
 
+def _txt_lm_ce(spark, sf):
+    """CCNet-style unigram-LM cross-entropy per document
+    (curation.lm_cross_entropy), vocab capped at 256 so the UNK
+    bucket is exercised at synth scale."""
+    return CU.lm_cross_entropy(_t(spark, sf, "documents"), vocab_size=256)
+
+
 def _txt_profile(spark, sf):
     """Corpus datasheet (curation.corpus_profile): one (metric, value)
     table per snapshot — doc counts, dup rate, token mass, quality,
@@ -1567,6 +1574,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": _dedup_passages,
         "mix_split": _mix_split,
         "txt_profile": _txt_profile,
+        "txt_lm_ce": _txt_lm_ce,
     }
 
 
@@ -2273,6 +2281,44 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": f"""
             SELECT doc_id, list_min(list_transform({_SHINGLES5}, g -> md5(g))) AS fingerprint
             FROM documents
+        """,
+        # unigram-LM cross-entropy (curation.lm_cross_entropy):
+        # per-token log-probs quantized to integer micro-nats ONCE per
+        # distinct token, then exact integer sums per doc
+        "txt_lm_ce": f"""
+            WITH toks AS (
+                SELECT doc_id, tt.x AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(lower(text)), {_WS})) AS tt(x)
+                WHERE tt.x <> ''
+            ),
+            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+            vocab AS (SELECT token, c FROM counts
+                      ORDER BY c DESC, token ASC LIMIT 256),
+            tot AS (
+                SELECT (SELECT sum(c) FROM counts) AS n_total,
+                       (SELECT sum(c) FROM vocab) AS n_vocab,
+                       (SELECT count(*) FROM vocab) AS k
+            ),
+            vlp AS (
+                SELECT v.token,
+                       CAST(round(ln((v.c + 1.0) / (t.n_total + t.k + 1.0))
+                            * 1000000) AS BIGINT) AS lp_micro
+                FROM vocab v, tot t
+            ),
+            unk AS (
+                SELECT CAST(round(ln((t.n_total - t.n_vocab + 1.0)
+                            / (t.n_total + t.k + 1.0)) * 1000000) AS BIGINT)
+                       AS unk_lp
+                FROM tot t
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(-sum(coalesce(v.lp_micro, u.unk_lp)) AS BIGINT)
+                       AS ce_micro,
+                   round(CAST(-sum(coalesce(v.lp_micro, u.unk_lp)) AS DOUBLE)
+                         / (1000000.0 * count(*)), 6) AS cross_entropy
+            FROM toks LEFT JOIN vlp v USING (token), unk u
+            GROUP BY doc_id
         """,
         # corpus datasheet (curation.corpus_profile): quality summed as
         # exact integers (x 10^4) so the mean is ONE correctly-rounded

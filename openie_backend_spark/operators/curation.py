@@ -516,3 +516,87 @@ def corpus_profile(
         )
     )
     return core.unionByName(langs)
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a unigram LM trained on the
+    corpus itself — the CCNet-style perplexity quality signal (Wenzek
+    et al. 2020 §3.3 rank by LM perplexity; Gopher filters on it):
+    gibberish and boilerplate score far from the corpus average, and
+    thresholding/bucketing this column is the standard quality split.
+
+    Model: the top-``vocab_size`` tokens by corpus frequency (count
+    DESC, token ASC tiebreak — deterministic vocab), everything else
+    one UNK bucket, add-one smoothing:
+    p(w) = (c_w + 1) / (N + K + 1) with K = |vocab|. Output:
+    (doc_id, n_tokens, ce_micro, cross_entropy) for every document
+    with ≥ 1 token, where ce_micro = −Σ round(ln p(w_i)·10⁶) is an
+    exact integer (per-token log-probs quantized to micro-nats ONCE,
+    per distinct token, then integer-summed — a double sum would
+    hash-diverge on addition order) and cross_entropy =
+    ce_micro / (10⁶·n) rounded 6.
+
+    Scale shape: ONE map-side-combinable token count, a global top-K
+    (TakeOrdered, no full sort), and a BROADCAST join of the ≤ K-row
+    vocab dim back to the exploded corpus — hot tokens ("the") are a
+    broadcast lookup, never a shuffle key, so token skew cannot
+    concentrate; then one groupBy(doc_id). Model size is capped by
+    ``vocab_size`` regardless of corpus scale.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_size)
+    tot = counts.agg(F.sum("c").alias("n_total")).crossJoin(
+        F.broadcast(
+            vocab.agg(F.sum("c").alias("n_vocab"), F.count(F.lit(1)).alias("k"))
+        )
+    )
+    # denominator N + K + 1 and the UNK mass are single-row scalars
+    lp = F.round(
+        F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("k") + 1.0))
+        * 1000000.0
+    ).cast("long")
+    vocab_lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token", lp.alias("lp_micro")
+    )
+    unk = tot.select(
+        F.round(
+            F.log(
+                (F.col("n_total") - F.col("n_vocab") + 1.0)
+                / (F.col("n_total") + F.col("k") + 1.0)
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("unk_lp")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab_lp), "token", "left")
+        .crossJoin(F.broadcast(unk))
+        .select(
+            "doc_id",
+            F.coalesce("lp_micro", F.col("unk_lp")).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp")).alias("ce_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ce_micro",
+            F.round(F.col("ce_micro") / (F.lit(1000000.0) * F.col("n_tokens")), 6)
+            .alias("cross_entropy"),
+        )
+    )

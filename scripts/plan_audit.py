@@ -521,6 +521,16 @@ def main():
         ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
     ])
 
+    # 19d. LM cross-entropy: the vocab dim must come back as a
+    # BROADCAST join (hot tokens are lookups, never shuffle keys)
+    audit("txt_lm_ce", xq["txt_lm_ce"](spark, sf_dir), [
+        ("vocab dim broadcast back to the exploded corpus",
+         r"BroadcastHashJoin", True),
+        ("no shuffled token join", r"SortMergeJoin|ShuffledHashJoin", False),
+        ("map-side partial aggregation", r"partial_count|partial_sum", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+
     # 20. Exact substring dedup: the duplicate decision is per-n-gram
     # (no pairwise join of documents anywhere); flagged positions come
     # back via ONE equality join on the gram hash

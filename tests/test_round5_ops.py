@@ -305,3 +305,27 @@ def test_corpus_profile_exact_values(spark):
     # quality: every doc here misses the length gate; mean is in [0, 1]
     assert 0.0 <= out["mean_quality"] <= 1.0
     assert out["total_bpe_tokens"] >= out["total_tokens"]
+
+
+def test_lm_cross_entropy_orders_gibberish_above_typical(spark):
+    from openie_backend_spark.operators.curation import lm_cross_entropy
+
+    # 16 distinct common words, each with count >= 20, saturate the
+    # 16-slot vocab so every count-1 gibberish token is OOV
+    common = ("the quick brown fox jumps over a lazy dog while rain "
+              "falls on green hills today")
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(20)]
+        + [(100, "the quick brown fox jumps over a dog")]      # typical
+        + [(101, "zxqv wvut kjhg plmo qwer asdf zxcv uiop")],  # gibberish/OOV
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_cross_entropy(docs, vocab_size=16).collect()}
+    assert out[100].cross_entropy < out[101].cross_entropy
+    # every in-vocab token beats UNK, so gibberish CE equals the UNK
+    # log-prob exactly: ce_micro must be n_tokens * (-unk_lp)
+    assert out[101].ce_micro % out[101].n_tokens == 0
+    # deterministic: a second evaluation is bit-identical
+    out2 = {r.doc_id: r for r in lm_cross_entropy(docs, vocab_size=16).collect()}
+    assert {k: (v.ce_micro, v.cross_entropy) for k, v in out.items()} == \
+           {k: (v.ce_micro, v.cross_entropy) for k, v in out2.items()}
