@@ -573,6 +573,22 @@ def _dedup_passages(spark, sf):
     return D.duplicate_passages(_t(spark, sf, "documents"), ngram=8)
 
 
+def _txt_repeated_spans(spark, sf):
+    """Within-doc repetition spans (dedup.repeated_spans): the synth
+    corpus has no natural self-repeats, so every doc_id%10==0 document
+    is planted with its own text doubled — those MUST yield spans
+    (every 5-gram of copy one recurs in copy two), all others none."""
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.repeated_spans(planted, ngram=5)
+
+
 def _dedup_canonical(spark, sf):
     """Survivor selection over MinHash-LSH duplicate clusters
     (dedup.canonical_docs): keep the longest member per cluster,
@@ -1575,6 +1591,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_split": _mix_split,
         "txt_profile": _txt_profile,
         "txt_lm_ce": _txt_lm_ce,
+        "txt_repeated_spans": _txt_repeated_spans,
     }
 
 
@@ -1859,6 +1876,53 @@ def _dedup_passages_sql(ngram: int = 8, min_docs: int = 2,
         ), flagged AS (
             SELECT doc_id, start, start + {ngram - 1} AS e
             FROM pos WHERE gh IN (SELECT gh FROM dup)
+        ), brks AS (
+            SELECT doc_id, start, e,
+                   CASE WHEN start > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM flagged
+        ), isl AS (
+            SELECT doc_id, start, e,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM brks
+        )
+        SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+               max(e) - min(start) + 1 AS span_words
+        FROM isl GROUP BY doc_id, island
+    """
+
+
+def _repeated_spans_sql(ngram: int = 5, min_repeats: int = 2,
+                        max_positions: int = 2048) -> str:
+    """Mirror of dedup.repeated_spans: same md5 n-grams, per-(doc,
+    gram) repeat threshold, same gaps-and-islands merge."""
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text
+                        ELSE text END AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), {_WS}) AS ws
+            FROM planted
+        ), pos AS (
+            SELECT doc_id, CAST(t.s AS BIGINT) AS start,
+                   md5(array_to_string(ws[t.s : t.s + {ngram - 1}], ' ')) AS gh
+            FROM toks,
+                 unnest(range(1, least(len(ws) - {ngram - 1},
+                                       {max_positions}) + 1)) AS t(s)
+            WHERE len(ws) >= {ngram}
+        ), rep AS (
+            SELECT doc_id, gh FROM pos
+            GROUP BY doc_id, gh HAVING count(*) >= {min_repeats}
+        ), flagged AS (
+            SELECT p.doc_id, p.start, p.start + {ngram - 1} AS e
+            FROM pos p JOIN rep USING (doc_id, gh)
         ), brks AS (
             SELECT doc_id, start, e,
                    CASE WHEN start > coalesce(max(e) OVER (
@@ -2597,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_split": _mix_split_sql(),
         "dedup_canonical": _CANONICAL_SQL,
         "dedup_passages": _dedup_passages_sql(),
+        "txt_repeated_spans": _repeated_spans_sql(),
         "ann_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3

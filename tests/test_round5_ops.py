@@ -329,3 +329,27 @@ def test_lm_cross_entropy_orders_gibberish_above_typical(spark):
     out2 = {r.doc_id: r for r in lm_cross_entropy(docs, vocab_size=16).collect()}
     assert {k: (v.ce_micro, v.cross_entropy) for k, v in out.items()} == \
            {k: (v.ce_micro, v.cross_entropy) for k, v in out2.items()}
+
+
+def test_repeated_spans_within_doc_only(spark):
+    from openie_backend_spark.operators.dedup import repeated_spans
+
+    rep8 = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            # same 8-gram twice within ONE doc -> two merged spans
+            (1, rep8 + " spacer " + rep8),
+            # unique text -> nothing
+            (2, "totally unique words that never repeat at all here ok"),
+            # cross-doc duplication WITHOUT within-doc repeats -> nothing
+            (3, "shared passage alpha beta gamma delta epsilon zeta"),
+            (4, "shared passage alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in repeated_spans(docs, ngram=8).collect():
+        out.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # doc 1: words 1-8 and 10-17 (spacer at 9 breaks adjacency)
+    assert sorted(out[1]) == [(1, 8), (10, 17)]
+    assert 2 not in out and 3 not in out and 4 not in out
