@@ -542,6 +542,17 @@ def main():
          r"partial_count|HashAggregate", True),
         ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
     ])
+    # 20b. Within-doc repetition spans: the repeat decision is
+    # per-(doc, gram) — NO join of any kind anywhere in the plan
+    audit("txt_repeated_spans", xq["txt_repeated_spans"](spark, sf_dir), [
+        ("no join at all (per-doc decision)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct",
+         False),
+        ("map-side partial aggregation of gram occurrences",
+         r"partial_count|HashAggregate", True),
+        ("no Python UDF", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+    ])
+
     # 21. Inverse-relation candidates over a synthetic groups table
     # (the real chain's NLP UDF is audited at kg_spo): capped swapped
     # self-join, equality keys only
