@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # warm-fork daemon: heavy imports + NLP model parse happen once
+        # in the daemon, forked workers inherit them (see warm_daemon.py;
+        # measured 18.3→~4 s cold kg_spo). Scale-independent: the same
+        # per-worker startup tax exists on any executor.
+        .config("spark.python.daemon.module",
+                "openie_backend_spark.warm_daemon")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
