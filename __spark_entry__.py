@@ -71,9 +71,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # scan yields one partition and the map side runs single-threaded;
     # redistribute small inputs. At production scale inputs arrive in
     # many files/row-groups and this branch never triggers.
-    target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
-        df = df.repartition(target)
+    #
+    # Only the documents table is worth the extra exchange: its
+    # consumers run ~10^3 CPU per scanned byte (NLP, shingle+md5,
+    # regex quality signals), so a serial scan starves 31 cores.
+    # Every other table feeds shuffle-first relational queries
+    # (agg/window/join) where a round-robin pre-exchange is a pure
+    # extra pass — measured r6 A/B (warm, sf0.1): t9 1.42→0.83 s,
+    # g1 0.81→0.18 s, j3 0.78→0.31 s walls and 5-8× CPU cuts with
+    # the repartition dropped, while dedup_minhash over documents
+    # NEEDS it (1.46 s vs 6.14 s serial).
+    if name == "documents":
+        target = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < target:
+            df = df.repartition(target)
     return df
 
 
@@ -549,7 +560,7 @@ def _dedup_bloom(spark, sf):
     document, half of them verbatim re-crawls (doc_id%8==0 keeps the
     exact text → MUST flag; no false negatives) and half perturbed
     (+' bloomnovel' suffix → flagged only by an md5-position
-    collision, ~5e-8 at these settings)."""
+    collision, ~1.5e-6 at these settings)."""
     d = _t(spark, sf, "documents")
     probe = d.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id",

@@ -189,6 +189,13 @@ def ivf_topk(
     ``nprobe/n_centroids`` of the data via partition pruning. Recall
     < 1 by construction; BENCH/ANN.md reports measured recall vs the
     brute-force baseline alongside LSH's.
+
+    Id contract (ADVICE r5): ``id_col`` must be integer-convertible —
+    the centroid tiebreak builds ``lit(-int(vec_id))`` at plan time,
+    so a string id like ``'doc-123'`` raises ``ValueError`` when the
+    plan is constructed. Every embeddings source in this engine uses
+    integer vec_ids; widening the contract would need a hash/ordinal
+    tiebreak and a matching oracle change.
     """
     v = F.col(vec_col).cast("array<double>")
     base = corpus.select(

@@ -184,6 +184,19 @@ def run_incremental(
         )
         touched = [r["bucket"] for r in incoming.select("bucket").distinct().collect()]
         if not touched:
+            # extraction-less pages still count as SEEN (ADVICE r5):
+            # without recording them, every future re-crawl of a page
+            # that yields no groups re-runs the full NLP stage,
+            # breaking the "re-crawl costs k md5s" contract. There is
+            # no merge to order against on this path, so bits + marker
+            # commit directly.
+            if dedup_pages:
+                from openie_backend_spark.operators.dedup import bloom_bits
+
+                bloom_bits(batch_df, m_bits=bloom_m_bits, k_hashes=bloom_k) \
+                    .write.mode("append").parquet(seen_dir)
+            with open(marker, "w") as fh:
+                fh.write("merged\n")
             return
         has_table = os.path.isdir(groups_dir) and any(
             e.startswith("bucket=") for e in os.listdir(groups_dir)
