@@ -15,6 +15,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Start the Python worker pool once, at session creation.
+
+    Worker creation goes through the daemon's single accept loop —
+    measured 1.27 s of per-task "time to start Python workers" on the
+    first Python stage of a cold session (event-log accumulators,
+    scripts/cpu_attrib.py). A long-lived session (cluster executors,
+    the local harness alike) wants that pool up BEFORE the first real
+    query, exactly like executor JVMs are started ahead of work. One
+    trivial mapInPandas over ``defaultParallelism`` single-row
+    partitions forks a worker per task slot; ``spark.python.worker.reuse``
+    (default on) then keeps them for every later Python stage.
+    Best-effort: a failure must never block session creation.
+    """
+    try:
+        n = spark.sparkContext.defaultParallelism
+
+        def _touch(batches):
+            for b in batches:
+                yield b
+
+        (
+            spark.range(n, numPartitions=1).repartition(n)
+            .mapInPandas(_touch, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass
+
+
 def get_spark(
     app_name: str = "openie-backend-spark",
     parallelism: int | None = None,
@@ -45,9 +75,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # experiment hook only (CDS / JIT / GC A-Bs); default empty
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JVM_OPTS", ""))
         .config("spark.sql.session.timeZone", "UTC")
     )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if not getattr(spark, "_openie_prewarmed", False):
+        _prewarm_python_workers(spark)
+        spark._openie_prewarmed = True
+    return spark
