@@ -1055,7 +1055,11 @@ def _stream_windowed_counts(spark, sf):
     ck = os.path.join(work, "ck")
     events = _t(spark, sf, "events")
     events.repartition(4, F.pmod("event_id", F.lit(4))).write.parquet(landing)
-    windowed_event_counts(spark, landing, out, ck)
+    # state partitions sized to this stream's key cardinality
+    # (hours × event types, a few hundred keys): the session-wide
+    # batch shuffle sizing would pin 64 state stores to the
+    # checkpoint and pay 64 snapshot files per micro-batch
+    windowed_event_counts(spark, landing, out, ck, state_partitions=8)
     return read_windowed_counts(spark, out)
 
 

@@ -97,13 +97,31 @@ def quality_score(col: str | Column) -> Column:
 
 
 def _word_ngrams(ws: Column, n: int) -> Column:
-    """All word n-grams of a words array, EMPTY for arrays shorter than
-    n. The guard matters: ``sequence(1, 0)`` in Spark is the DESCENDING
-    [1, 0], so an unguarded index sequence feeds ``slice`` a 0 start
-    and crashes on every document of fewer than n words — real web
-    corpora are full of those."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    """All word n-grams of a words array, EMPTY for arrays shorter
+    than n.
+
+    Shifted-zip formulation (r6): zip the array with its n−1 left
+    shifts and join each zipped struct — ``ws`` is referenced a
+    CONSTANT number of times (the alias + n−1 slices), where the
+    earlier index-transform form (``transform(idx, i → concat_ws(
+    slice(ws, i, n)))``) re-evaluated the whole words-split expression
+    once PER ELEMENT (higher-order lambdas re-execute referenced
+    subtrees): O(words²·|text|) per row, quadratic in document length.
+    Equivalence pinned by test + oracle (identical arrays for
+    n ∈ {2,3,5,8} over sf0.1); measured 4.2 → 1.2 CPU-s on 5 000
+    54-word docs, growing with doc length. The final slice keeps only
+    COMPLETE grams; the ``when`` guard keeps sub-n documents empty."""
+    if n == 1:
+        return ws
+    parts = [ws.alias("w0")] + [
+        F.slice(ws, k + 1, F.greatest(F.size(ws) - k, F.lit(0))).alias(f"w{k}")
+        for k in range(1, n)
+    ]
+    grams_all = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{k}"] for k in range(n)]),
+    )
+    grams = F.slice(grams_all, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0)))
     return F.when(F.size(ws) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
@@ -154,14 +172,36 @@ def distinct_word_ratio(col: str | Column) -> Column:
 def top_bigram_frac(col: str | Column) -> Column:
     """Fraction of (capped) word bigrams covered by the single most
     frequent bigram — the Gopher ``top-2-gram fraction`` repetition
-    rule (Rae et al. 2021 §A1.1). 0.0 when the document has no bigram."""
+    rule (Rae et al. 2021 §A1.1). 0.0 when the document has no bigram.
+
+    Implementation note (r6): the top multiset count is the longest
+    run of the SORTED gram array, computed in ONE ``aggregate`` pass.
+    The earlier ``transform(distinct, g -> size(filter(grams, ==g)))``
+    form re-evaluated the full gram-construction expression once per
+    DISTINCT ELEMENT (higher-order-function lambdas re-execute every
+    subtree they reference), turning an O(n log n) signal into
+    O(n² · |text|): measured 303 → 4 CPU-s on 5 000 sf0.1 docs with
+    identical output."""
     grams = _capped_bigrams(col)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    run_best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    top = F.coalesce(F.array_max(counts), F.lit(0))
-    return F.round(top / F.greatest(F.size(grams), F.lit(1)), 4)
+    return F.round(run_best / F.greatest(F.size(grams), F.lit(1)), 4)
 
 
 def dup_bigram_frac(col: str | Column) -> Column:

@@ -43,6 +43,9 @@ def relation_synonyms(
         triples.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_rels_per_pair)
         .drop("_rn")
+        # self-joined below: materialize once or the upstream groups
+        # pipeline executes twice (r6; guide §3.3)
+        .localCheckpoint(eager=True)
     )
     a, b = capped.alias("a"), capped.alias("b")
     joined = a.join(
@@ -163,6 +166,9 @@ def entity_aliases(
     materializes its full surface list on one task beyond the
     aggregated distinct-surface rows it actually has.
     """
+    # both sides project from `linked`; materialize once so a
+    # pipeline-fed linked KG is not extracted+linked twice (r6)
+    linked = linked.localCheckpoint(eager=True)
     sides = []
     for side in ("arg1", "arg2"):
         sides.append(
@@ -216,6 +222,8 @@ def relation_inverses(
         triples.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_rels_per_pair)
         .drop("_rn")
+        # self-joined below: materialize once (r6, as relation_synonyms)
+        .localCheckpoint(eager=True)
     )
     a, b = capped.alias("a"), capped.alias("b")
     joined = a.join(

@@ -183,6 +183,10 @@ def two_hop(edges: DataFrame, max_fanout: int | None = 1000) -> DataFrame:
     UnlinkableEntityTyper.scala:206). The windows partition on the
     same mid key the join shuffles on, so the exchange is reused, not
     added. Default 1000 mirrors the reference's G7 cap."""
+    # both hop sides read `edges`; materialize once so a pipeline-fed
+    # edge table (extraction + grouping upstream) is not evaluated
+    # twice (r6)
+    edges = edges.localCheckpoint(eager=True)
     hop1 = edges.select(
         F.col("subject_id").alias("src"), F.explode("dst_ids").alias("mid")
     )
@@ -212,6 +216,9 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     snapshot and alert on max-degree drift. Out side is a metadata
     read of the adjacency list (``out_degree`` is precomputed); in
     side is one explode + two map-side-combinable aggregations."""
+    # two independent aggregations read `edges`; materialize once so a
+    # pipeline-fed edge table is not extracted twice (r6)
+    edges = edges.localCheckpoint(eager=True)
     out_side = (
         edges.groupBy(F.col("out_degree").alias("degree"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -259,17 +266,24 @@ def pagerank(
     AQE's skew-split handles it because contribution rows are tiny
     (two keys and a double).
     """
+    # materialize the static pair list ONCE (r6): it is referenced by
+    # every iteration's contribution join, and `nodes` below references
+    # it twice more — Catalyst does NOT deduplicate repeated subtrees,
+    # so without this the upstream edge pipeline (extraction + grouping
+    # when fed from the KG chain) re-executes 2 + iterations times.
+    # This is the "persist point at 100 TB" the docstring names.
     pairs = edges.select(
         F.col("subject_id").alias("src"),
         F.explode("dst_ids").alias("dst"),
         # distinct-neighbor count, NOT out_degree (which counts triple
         # rows incl. parallel edges with different relations)
         F.size("dst_ids").alias("deg"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col("src").alias("node_id"))
         .union(pairs.select(F.col("dst").alias("node_id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
@@ -314,9 +328,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     pairs = edges.select(
         F.col("subject_id").alias("a"), F.explode("dst_ids").alias("b")
     ).filter(F.col("a") != F.col("b"))
+    # materialized once (r6): `und` feeds the degree count (twice via
+    # the union), the orientation join and the closing probe — four
+    # references, each of which would otherwise re-run the upstream
+    # edge pipeline (guide §3.3 subtree truncation)
     und = pairs.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
@@ -334,6 +352,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # the wedge step self-joins this relation (x ⋈ y): checkpoint
+        # so the orientation joins run once, not twice
+        .localCheckpoint(eager=True)
     )
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (

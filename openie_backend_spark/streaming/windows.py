@@ -38,6 +38,7 @@ def windowed_event_counts(
     window_dur: str = "1 hour",
     watermark_delay: str = "2 hours",
     max_files_per_trigger: int = 4,
+    state_partitions: int | None = None,
 ) -> None:
     """One AvailableNow catch-up pass: stream event files from
     ``landing_dir``, aggregate per (event-time window, event_type),
@@ -48,7 +49,21 @@ def windowed_event_counts(
     engines (the same concession as ``materialize.pagerank``).
     Re-running with the same checkpoint resumes; late files replayed
     into a later pass are dropped per the persisted watermark
-    (pytest-gated in test_entry_and_streaming)."""
+    (pytest-gated in test_entry_and_streaming).
+
+    ``state_partitions``: stateful-aggregation shuffle partitions for
+    this stream. Stateful exchanges are PINNED to the checkpoint (AQE
+    never coalesces them), so the session-wide ``shuffle.partitions``
+    — sized for batch analytics — silently becomes the state-store
+    count: 64 stores × per-batch snapshot files for a fixture-sized
+    stream (measured ~50 CPU-s of pure state/task overhead at sf0.1).
+    Size it to ingest volume per deployment; it must stay constant for
+    the lifetime of a checkpoint, which is why it is set here (before
+    the first start) and restored after."""
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -66,15 +81,19 @@ def windowed_event_counts(
             "total_value",
         )
     )
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def read_windowed_counts(spark: SparkSession, out_dir: str) -> DataFrame:
