@@ -709,6 +709,9 @@ def _synth(spark):
     from openie_backend_spark import synth as _synth_mod
 
     cache = _synth_mod.ensure_corpus()
+    # deliberately NOT fanned out like _t("documents"): the synth
+    # corpus is 150 pages — a repartition would add an exchange plus
+    # 32 Arrow task setups to save ~0.2 s of single-core NLP (r6 A/B)
     pages = spark.read.parquet(os.path.join(cache, "pages.parquet"))
     dims = {
         os.path.basename(f)[:-8]: spark.read.parquet(f)

@@ -78,11 +78,46 @@ def _dedup_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def dedup_instances(extractions: DataFrame) -> DataFrame:
-    """Deduplicate extraction rows within each group key."""
+    """Deduplicate extraction rows within each group key.
+
+    Batched grouped-map (r6): ``groupBy().applyInPandas`` invokes
+    Python and builds a fresh pandas frame once PER GROUP — measured
+    ~4-8 ms of pure overhead per group, which at 484 sf0.1 groups is
+    already seconds and at web scale is O(groups) pure tax. Same
+    shuffle (repartition by the group key), same per-group scan
+    (``_dedup_one_group`` sorts internally, so intra-group input order
+    is irrelevant), but ONE ``mapInPandas`` call per Arrow batch:
+    rows arrive key-sorted within each partition and groups are sliced
+    in pandas, with the final (possibly batch-spanning) group carried
+    into the next batch. Output rows are identical; only the
+    per-group invocation overhead moves to per-batch."""
     schema = extractions.schema
-    return extractions.groupBy(*GROUP_KEY).applyInPandas(
-        lambda pdf: _dedup_one_group(pdf), schema=schema
-    )
+    keyed = extractions.repartition(*[F.col(k) for k in GROUP_KEY]) \
+        .sortWithinPartitions(*GROUP_KEY)
+
+    def _batched(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            is_last = pd.Series(True, index=pdf.index)
+            for k in GROUP_KEY:
+                is_last &= pdf[k] == pdf[k].iloc[-1]
+            carry = pdf[is_last].reset_index(drop=True)
+            head = pdf[~is_last]
+            if len(head):
+                out = [
+                    _dedup_one_group(g.reset_index(drop=True))
+                    for _, g in head.groupby(list(GROUP_KEY), sort=False)
+                ]
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            yield _dedup_one_group(carry)
+
+    return keyed.mapInPandas(_batched, schema=schema)
 
 
 def dedup_grouped(groups: DataFrame) -> DataFrame:

@@ -292,7 +292,14 @@ def link_groups(
     min_score: float = 0.0,
     refuse_junk_anchors: bool = True,
 ) -> DataFrame:
-    """Attach arg1/arg2 entity links + types to groups."""
+    """Attach arg1/arg2 entity links + types to groups.
+
+    ``groups`` is referenced three times (the base frame + one
+    ``_link_side`` per argument side); materialize it once so a
+    pipeline-fed frame (extraction + grouping upstream) is not
+    re-executed per reference (r6 — the ad-hoc analog of the stage
+    materialization plans/pipeline.py does with parquet)."""
+    groups = groups.localCheckpoint(eager=True)
     cand_dim = _prepare_dims(dims)
     junk_dim = junk_anchor_dim(groups.sparkSession, dims)
     out = groups

@@ -93,6 +93,10 @@ def frontend_regroup(groups: DataFrame) -> DataFrame:
     g = (
         groups.withColumn("_lk", lk)
         .withColumn("_nl", F.sum(F.col("_lk").cast("int")).over(w))
+        # consumed by BOTH the mergeable aggregate and the passthrough
+        # branch: materialize once so the upstream pipeline (often the
+        # full linked KG) is not evaluated twice (r6)
+        .localCheckpoint(eager=True)
     )
     fbid1 = (
         F.col("arg1_entity.fbid") if has_links else F.lit(None).cast("string")

@@ -267,6 +267,9 @@ def type_unlinkable(
     min_share_score: int = MIN_SHARE_SCORE,
 ) -> DataFrame:
     """The full G6→G9 chain for one argument side."""
+    # three references below (rel_infos, arg_relinfos, attach_types):
+    # materialize the input once (r6, same rationale as link_groups)
+    groups = groups.localCheckpoint(eager=True)
     ri = rel_infos(groups, side, stoplist, min_rel_weight)
     pairs = arg_relinfos(groups, ri, side)
     preds = type_predictions(pairs, min_share_score)
