@@ -216,7 +216,10 @@ def _f2_doc_filters(spark, sf):
     d = _t(spark, sf, "documents")
     kept = d.filter(
         (F.col("n_chars").between(100, 450))
-        & ~F.col("text").rlike(".*(http|\\().*")
+        # equivalent to rlike(".*(http|\\().*") — the unanchored-.*
+        # java regex backtracks O(len²) per doc (measured ~4 s serial
+        # in the scan task at sf0.1); substring search is linear
+        & ~(F.col("text").contains("http") | F.col("text").contains("("))
         & (F.length(F.trim("text")) > 0)
     )
     return kept.groupBy("lang").agg(
@@ -1132,7 +1135,6 @@ def _s4_point_lookup(spark, sf):
 
     import hashlib
 
-    linked, _ = _synth_linked(spark)
     # mirror.source_version covers nlp+extract; the cached spo also
     # depends on the downstream chain, so fold those sources in too
     pkg = os.path.dirname(os.path.abspath(mirror.__file__))
@@ -1146,6 +1148,10 @@ def _s4_point_lookup(spark, sf):
     spo_dir, ops_dir = f"{work}/spo", f"{work}/ops"
     if not os.path.isdir(work):
         tmp = f"{work}.tmp.{os.getpid()}"
+        # build the linked KG only on a cache miss (r6): link_groups
+        # materializes its input eagerly, so constructing it on the
+        # cached path re-ran the whole extraction chain for nothing
+        linked, _ = _synth_linked(spark)
         spo = spo_table(linked)
         spo.withColumn("_bucket", bucket_expr(F.col("subject_id"), n_buckets)) \
            .write.mode("overwrite").partitionBy("_bucket") \

@@ -47,7 +47,18 @@ EXTREME_STOP_ARGS = (
     "saturday", "yesterday", "tomorrow", "today",
 )
 LIKELY_ERROR_RE = r'.*(http|\(|\)|"|\[|thing).*'
+LIKELY_ERROR_SUBSTRINGS = ("http", "(", ")", '"', "[", "thing")
 MAX_TRIPLE_LEN = 60
+
+
+def _likely_error(col):
+    """contains-any over LIKELY_ERROR_SUBSTRINGS — exactly the match
+    set of ``rlike(LIKELY_ERROR_RE)`` (an unanchored alternation of
+    literals) without the regex engine's quadratic backtracking."""
+    out = col.contains(LIKELY_ERROR_SUBSTRINGS[0])
+    for s in LIKELY_ERROR_SUBSTRINGS[1:]:
+        out = out | col.contains(s)
+    return out
 
 
 def _negation(col):
@@ -83,7 +94,10 @@ def instance_quality_filter(extractions: DataFrame, min_conf: float = 0.5) -> Da
         & (F.length(F.trim(F.col("arg2_norm"))) > 0)
         & (F.col("arg1_norm") != F.col("arg2_norm"))
         & (questionable < 5)
-        & ~F.lower(triple).rlike(LIKELY_ERROR_RE)
+        # contains-chain ≡ rlike(LIKELY_ERROR_RE): the unanchored-.*
+        # regex backtracks O(len²) per row; substring search is linear
+        # and byte-identical in accept/reject behaviour (r6)
+        & ~_likely_error(F.lower(triple))
     )
 
 
