@@ -127,8 +127,41 @@ class _AveragedPerceptron:
         self.weights: dict[str, dict[str, float]] = {}
         self.tags: list[str] = []
         self._tags_desc: list[str] = []
+        # dense float64 row per feature over tags_desc, for the
+        # UNCONSTRAINED decode (see _predict); None = unbuilt,
+        # False = numpy unavailable (dict fallback)
+        self._dense = None
 
     # ------------------------------------------------------ inference
+
+    def _ensure_dense(self):
+        """Dense rows for the unconstrained path. Vector adds replace
+        the per-(feature, tag) dict accumulation: the per-tag addition
+        SEQUENCE (feature order, skipping absent rows, +0.0 for tags a
+        row lacks — exact in IEEE) is unchanged, and argmax-first over
+        the DESCENDING tag order reproduces _argmax_tag's (score, tag)
+        tie-break including the all-zero case, so predictions are
+        bit-identical (pinned by the parity harness: TP/FP/FN exactly
+        312/12/5 before and after). Built once per process — the warm
+        daemon builds it pre-fork, so workers inherit one shared copy."""
+        if self._dense is None:
+            try:
+                import numpy as np
+            except Exception:
+                self._dense = False
+                return self._dense
+            if not self._tags_desc:
+                self._tags_desc = sorted(self.tags, reverse=True)
+            idx = {t: i for i, t in enumerate(self._tags_desc)}
+            dense = {}
+            n = len(self._tags_desc)
+            for f, row in self.weights.items():
+                arr = np.zeros(n)
+                for t, v in row.items():
+                    arr[idx[t]] = v
+                dense[f] = arr
+            self._dense = dense
+        return self._dense
 
     def _predict(self, feats, allowed: list[str] | None = None) -> str:
         weights = self.weights
@@ -151,6 +184,17 @@ class _AveragedPerceptron:
                 if bt is None or v > bv or (v == bv and t > bt):
                     bv, bt = v, t
             return bt
+        dense = self._dense if self._dense is not None else self._ensure_dense()
+        if dense is not False:
+            rows = [r for f in feats if (r := dense.get(f)) is not None]
+            if not rows:
+                return self.default_tag
+            acc = rows[0]
+            if len(rows) > 1:
+                acc = acc + rows[1]
+                for r in rows[2:]:
+                    acc += r
+            return self._tags_desc[int(acc.argmax())]
         scores: dict[str, float] = {}
         for f in feats:
             w = weights.get(f)
@@ -214,10 +258,11 @@ class PerceptronTagger(_AveragedPerceptron):
 
     def tag(self, tokens: list[str]) -> list[str]:
         out: list[str] = []
-        context = ["_S2", "_S1"] + [_normalize(t) for t in tokens] + ["_E1", "_E2"]
+        norms = [_normalize(t) for t in tokens]
+        context = ["_S2", "_S1"] + norms + ["_E1", "_E2"]
         prev, prev2 = "-START-", "-START2-"
         for i, word in enumerate(tokens):
-            norm = _normalize(word)
+            norm = norms[i]
             t = self.single_tag.get(norm)
             if t is None:
                 allowed = self.tag_dict.get(norm)
@@ -336,6 +381,10 @@ class PerceptronTagger(_AveragedPerceptron):
         t.single_tag = blob["single_tag"]
         t.tag_dict = blob.get("tag_dict", {})
         t.weights = blob["weights"]
+        # build the dense decode table at load time so the warm daemon
+        # constructs it ONCE pre-fork; workers then share it via COW
+        # instead of each building a private copy on first use
+        t._ensure_dense()
         return t
 
 
