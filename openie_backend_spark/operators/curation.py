@@ -478,11 +478,23 @@ def corpus_profile(
         F.md5(F.col(text_col)).alias("h"),
         F.col(lang_col).alias("lang"),
     )
-    g = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("toks").alias("st"),
-        F.sum("bpe").alias("sb"),
-        F.sum("q4").alias("sq"),
+    # ONE per-language aggregate serves both the global totals and the
+    # lang_share rows (r6): previously the corpus was scanned — with
+    # the quality/BPE expressions re-evaluated — once for each of the
+    # global aggregate, the language counts, and the dup count. All
+    # sums are exact integers, so summing the per-lang partials is
+    # bit-identical to the direct global aggregate.
+    per_lang = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum("toks").alias("st_l"),
+        F.sum("bpe").alias("sb_l"),
+        F.sum("q4").alias("sq_l"),
+    ).localCheckpoint(eager=True)
+    g = per_lang.agg(
+        F.sum("n_l").alias("n"),
+        F.sum("st_l").alias("st"),
+        F.sum("sb_l").alias("sb"),
+        F.sum("sq_l").alias("sq"),
     )
     d = (
         base.select("h").groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
@@ -508,7 +520,7 @@ def corpus_profile(
         ).alias("r")
     ).select("r.metric", "r.value")
     langs = (
-        base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+        per_lang.select("lang", "n_l")
         .crossJoin(F.broadcast(g.select("n")))
         .select(
             F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
@@ -552,8 +564,16 @@ def lm_cross_entropy(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_size)
+    # the histogram feeds the vocab top-K AND the N_total scalar, and
+    # the vocab is referenced three more times below — materialize both
+    # once (r6) or the corpus-wide explode+aggregate re-executes per
+    # reference (~5 full passes observed in the plan). The histogram is
+    # corpus-VOCABULARY-sized (distinct whitespace tokens), bounded far
+    # below the corpus itself.
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")) \
+        .localCheckpoint(eager=True)
+    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_size) \
+        .localCheckpoint(eager=True)
     tot = counts.agg(F.sum("c").alias("n_total")).crossJoin(
         F.broadcast(
             vocab.agg(F.sum("c").alias("n_vocab"), F.count(F.lit(1)).alias("k"))

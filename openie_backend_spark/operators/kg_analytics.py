@@ -37,15 +37,19 @@ def relation_synonyms(
     disclosed (a capped pair can miss SOME witness pairs, never emit
     false ones); precision is untouched.
     """
-    triples = groups.select("rel_norm", "arg1_norm", "arg2_norm").distinct()
+    # materialized once (r6): the capped frame is SELF-JOINED below, so
+    # without this the upstream groups pipeline executes twice. The
+    # checkpoint sits on the distinct triples (pre-window) so the cap
+    # window — and its map-side WindowGroupLimit — stays in the final
+    # plan; re-running the window per join side costs one exchange over
+    # the (tiny, distinct) triple set, not a pipeline re-run.
+    triples = groups.select("rel_norm", "arg1_norm", "arg2_norm").distinct() \
+        .localCheckpoint(eager=True)
     w = Window.partitionBy("arg1_norm", "arg2_norm").orderBy("rel_norm")
     capped = (
         triples.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_rels_per_pair)
         .drop("_rn")
-        # self-joined below: materialize once or the upstream groups
-        # pipeline executes twice (r6; guide §3.3)
-        .localCheckpoint(eager=True)
     )
     a, b = capped.alias("a"), capped.alias("b")
     joined = a.join(
@@ -217,13 +221,13 @@ def relation_inverses(
         .filter(F.col("arg1_norm") != F.col("arg2_norm"))
         .distinct()
     )
+    # checkpointed pre-window as in relation_synonyms (r6)
+    triples = triples.localCheckpoint(eager=True)
     w = Window.partitionBy("arg1_norm", "arg2_norm").orderBy("rel_norm")
     capped = (
         triples.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_rels_per_pair)
         .drop("_rn")
-        # self-joined below: materialize once (r6, as relation_synonyms)
-        .localCheckpoint(eager=True)
     )
     a, b = capped.alias("a"), capped.alias("b")
     joined = a.join(
