@@ -41,6 +41,28 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
             .mapInPandas(_touch, "id long")
             .write.format("noop").mode("overwrite").save()
         )
+        # also warm the shared JVM machinery every real query uses —
+        # Janino/codegen compilation, Tungsten sort/hash-agg, window
+        # and join operators, the AQE loop — on a few thousand
+        # synthetic rows. This compiles the FRAMEWORK (shared classes
+        # + the compiler itself), not any query's specific plan; the
+        # first real query of a fresh process otherwise pays it.
+        from pyspark.sql import Window, functions as F
+
+        base = spark.range(8192).select(
+            F.col("id"), (F.col("id") % 63).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("s"),
+        )
+        dim = base.groupBy("k").agg(F.max("s").alias("m"),
+                                    F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("k").orderBy("s")
+        (
+            base.join(dim, "k")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .groupBy("k").agg(F.sum("id").alias("t"))
+            .write.format("noop").mode("overwrite").save()
+        )
     except Exception:
         pass
 
