@@ -63,6 +63,19 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
             .groupBy("k").agg(F.sum("id").alias("t"))
             .write.format("noop").mode("overwrite").save()
         )
+        # parquet reader/writer classes (footer, column readers,
+        # vectorized batch path) — the other framework surface every
+        # real query touches first
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="spark_prewarm_")
+        try:
+            dim.write.mode("overwrite").parquet(tmp + "/p")
+            spark.read.parquet(tmp + "/p").write.format("noop") \
+                .mode("overwrite").save()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     except Exception:
         pass
 
